@@ -1,0 +1,397 @@
+"""Network zoo: generators, discriminators, GAN objectives, LR schedules.
+
+TPU-native rebuild of the reference's models/networks.py (SURVEY.md §3.1:
+ResnetGenerator, ResnetBlock, UnetGenerator, NLayerDiscriminator,
+PixelDiscriminator, GANLoss, get_scheduler, init_weights/init_net, define_G,
+define_D). Architectures match the reference spec:
+
+  * ResnetGenerator: c7s1-64, d128, d256, n×ResBlock, u128, u64, c7s1-out;
+    reflect padding, InstanceNorm (affine=False, eps=1e-5) + ReLU, Tanh head.
+  * NLayerDiscriminator: 70×70 PatchGAN — C64-C128-C256-C512 with k=4 and
+    strides 2,2,2,1,1, LeakyReLU(0.2), no norm on the first layer
+    (receptive field 70 verified analytically — SURVEY.md A.5).
+  * weight init: normal(std=0.02) (reference init_weights 'normal', gain .02).
+
+Everything is flax.linen over NHWC (XLA:TPU native layout). Instance norm +
+activation go through nemar_tpu.ops.norm so the fused Pallas kernel can be
+swapped in on TPU.
+
+Not translated: torch's nn.DataParallel wrapping in init_net — parallelism
+here is jit + NamedSharding over a device mesh (nemar_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nemar_tpu.ops.norm import instance_norm_act
+
+# Reference init: normal(mean=0, std=0.02) on conv kernels, zeros bias.
+conv_init = nn.initializers.normal(stddev=0.02)
+
+
+def _make_init(init_type: str, init_gain: float):
+    """Mirror of reference init_weights: normal/xavier/kaiming/orthogonal."""
+    if init_type == "normal":
+        return nn.initializers.normal(stddev=init_gain)
+    if init_type == "xavier":
+        return nn.initializers.variance_scaling(
+            init_gain**2 * 2.0, "fan_avg", "truncated_normal"
+        )
+    if init_type == "kaiming":
+        return nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+    if init_type == "orthogonal":
+        return nn.initializers.orthogonal(scale=init_gain)
+    raise NotImplementedError(f"init type {init_type!r}")
+
+
+def _norm_act(x, norm: str, act: str, norm_impl: str = "xla", train: bool = True):
+    if norm == "instance":
+        return instance_norm_act(x, act=act, impl=norm_impl)
+    if norm == "none":
+        if act == "relu":
+            return jax.nn.relu(x)
+        if act == "leaky_relu":
+            return jax.nn.leaky_relu(x, 0.2)
+        return x
+    if norm == "batch":
+        # The template supports batchnorm; NeMAR uses instance norm. We keep
+        # a stateless batch-instance hybrid out of scope and treat 'batch'
+        # as per-batch normalization without running stats (train mode).
+        mean = jnp.mean(x, axis=(0, 1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=(0, 1, 2), keepdims=True)
+        x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
+        return _norm_act(x, "none", act)
+    raise NotImplementedError(f"norm {norm!r}")
+
+
+def reflect_pad(x: jax.Array, pad: int) -> jax.Array:
+    """ReflectionPad2d equivalent, NHWC (XLA folds this into the conv)."""
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+class ResnetBlock(nn.Module):
+    """Reflect-pad conv block with skip (reference ResnetBlock)."""
+
+    dim: int
+    norm: str = "instance"
+    use_dropout: bool = False
+    norm_impl: str = "xla"
+    kernel_init: Callable = conv_init
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        h = reflect_pad(x, 1)
+        h = nn.Conv(self.dim, (3, 3), padding="VALID", kernel_init=self.kernel_init)(h)
+        h = _norm_act(h, self.norm, "relu", self.norm_impl)
+        if self.use_dropout:
+            h = nn.Dropout(0.5, deterministic=not train)(h)
+        h = reflect_pad(h, 1)
+        h = nn.Conv(self.dim, (3, 3), padding="VALID", kernel_init=self.kernel_init)(h)
+        h = _norm_act(h, self.norm, "none", self.norm_impl)
+        return x + h
+
+
+class ResnetGenerator(nn.Module):
+    """Johnson-style resnet generator (reference ResnetGenerator ≈L300s)."""
+
+    output_nc: int = 3
+    ngf: int = 64
+    n_blocks: int = 9
+    n_downsampling: int = 2
+    norm: str = "instance"
+    use_dropout: bool = False
+    norm_impl: str = "xla"
+    kernel_init: Callable = conv_init
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ki = self.kernel_init
+        h = reflect_pad(x, 3)
+        h = nn.Conv(self.ngf, (7, 7), padding="VALID", kernel_init=ki)(h)
+        h = _norm_act(h, self.norm, "relu", self.norm_impl)
+        for i in range(self.n_downsampling):
+            mult = 2**i
+            h = nn.Conv(
+                self.ngf * mult * 2, (3, 3), strides=(2, 2),
+                padding=((1, 1), (1, 1)), kernel_init=ki,
+            )(h)
+            h = _norm_act(h, self.norm, "relu", self.norm_impl)
+        for _ in range(self.n_blocks):
+            h = ResnetBlock(
+                self.ngf * 2**self.n_downsampling, self.norm, self.use_dropout,
+                self.norm_impl, ki,
+            )(h, train)
+        for i in range(self.n_downsampling):
+            mult = 2 ** (self.n_downsampling - i)
+            h = nn.ConvTranspose(
+                self.ngf * mult // 2, (3, 3), strides=(2, 2), padding="SAME",
+                kernel_init=ki,
+            )(h)
+            h = _norm_act(h, self.norm, "relu", self.norm_impl)
+        h = reflect_pad(h, 3)
+        h = nn.Conv(self.output_nc, (7, 7), padding="VALID", kernel_init=ki)(h)
+        return jnp.tanh(h)
+
+
+class UnetGenerator(nn.Module):
+    """UNet generator (reference UnetGenerator/UnetSkipConnectionBlock).
+
+    num_downs=8 reaches 1×1 at 256²; inner layers capped at ngf*8 channels,
+    matching the reference construction.
+    """
+
+    output_nc: int = 3
+    num_downs: int = 8
+    ngf: int = 64
+    norm: str = "instance"
+    use_dropout: bool = False
+    norm_impl: str = "xla"
+    kernel_init: Callable = conv_init
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ki = self.kernel_init
+        chans = [
+            min(self.ngf * 2**i, self.ngf * 8) for i in range(self.num_downs)
+        ]
+        skips = []
+        h = x
+        # Encoder: conv k4 s2 p1; LeakyReLU before each conv except the first;
+        # norm on all but first and innermost (reference layering).
+        for i, ch in enumerate(chans):
+            if i > 0:
+                h = jax.nn.leaky_relu(h, 0.2)
+            h = nn.Conv(
+                ch, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+                kernel_init=ki,
+            )(h)
+            if 0 < i < self.num_downs - 1:
+                h = _norm_act(h, self.norm, "none", self.norm_impl)
+            skips.append(h)
+        # Decoder: relu + convT k4 s2 p1 + norm, concat skip.
+        for i in reversed(range(self.num_downs)):
+            out_ch = self.output_nc if i == 0 else chans[max(i - 1, 0)]
+            h = jax.nn.relu(h)
+            h = nn.ConvTranspose(
+                out_ch, (4, 4), strides=(2, 2), padding="SAME", kernel_init=ki
+            )(h)
+            if i > 0:
+                h = _norm_act(h, self.norm, "none", self.norm_impl)
+                if self.use_dropout and i >= self.num_downs - 3:
+                    h = nn.Dropout(0.5, deterministic=not train)(h)
+                h = jnp.concatenate([skips[i - 1], h], axis=-1)
+        return jnp.tanh(h)
+
+
+class NLayerDiscriminator(nn.Module):
+    """70×70 PatchGAN (reference NLayerDiscriminator ≈L500s)."""
+
+    ndf: int = 64
+    n_layers: int = 3
+    norm: str = "instance"
+    norm_impl: str = "xla"
+    kernel_init: Callable = conv_init
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ki = self.kernel_init
+        h = nn.Conv(
+            self.ndf, (4, 4), strides=(2, 2), padding=((1, 1), (1, 1)),
+            kernel_init=ki,
+        )(x)
+        h = jax.nn.leaky_relu(h, 0.2)  # no norm on the first layer
+        nf_mult = 1
+        for n in range(1, self.n_layers):
+            nf_mult = min(2**n, 8)
+            h = nn.Conv(
+                self.ndf * nf_mult, (4, 4), strides=(2, 2),
+                padding=((1, 1), (1, 1)), kernel_init=ki,
+            )(h)
+            h = _norm_act(h, self.norm, "leaky_relu", self.norm_impl)
+        nf_mult = min(2**self.n_layers, 8)
+        h = nn.Conv(
+            self.ndf * nf_mult, (4, 4), strides=(1, 1),
+            padding=((1, 1), (1, 1)), kernel_init=ki,
+        )(h)
+        h = _norm_act(h, self.norm, "leaky_relu", self.norm_impl)
+        return nn.Conv(
+            1, (4, 4), strides=(1, 1), padding=((1, 1), (1, 1)), kernel_init=ki
+        )(h)
+
+
+class PixelDiscriminator(nn.Module):
+    """1×1 PatchGAN (reference PixelDiscriminator)."""
+
+    ndf: int = 64
+    norm: str = "instance"
+    norm_impl: str = "xla"
+    kernel_init: Callable = conv_init
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        ki = self.kernel_init
+        h = nn.Conv(self.ndf, (1, 1), kernel_init=ki)(x)
+        h = jax.nn.leaky_relu(h, 0.2)
+        h = nn.Conv(self.ndf * 2, (1, 1), kernel_init=ki)(h)
+        h = _norm_act(h, self.norm, "leaky_relu", self.norm_impl)
+        return nn.Conv(1, (1, 1), kernel_init=ki)(h)
+
+
+# ---------------------------------------------------------------------------
+# Factories (reference define_G / define_D)
+# ---------------------------------------------------------------------------
+
+
+def define_G(
+    input_nc: int,
+    output_nc: int,
+    ngf: int,
+    netG: str,
+    norm: str = "instance",
+    use_dropout: bool = False,
+    init_type: str = "normal",
+    init_gain: float = 0.02,
+    norm_impl: str = "xla",
+) -> nn.Module:
+    ki = _make_init(init_type, init_gain)
+    if netG == "resnet_9blocks":
+        return ResnetGenerator(output_nc, ngf, 9, 2, norm, use_dropout, norm_impl, ki)
+    if netG == "resnet_6blocks":
+        return ResnetGenerator(output_nc, ngf, 6, 2, norm, use_dropout, norm_impl, ki)
+    if netG == "unet_128":
+        return UnetGenerator(output_nc, 7, ngf, norm, use_dropout, norm_impl, ki)
+    if netG == "unet_256":
+        return UnetGenerator(output_nc, 8, ngf, norm, use_dropout, norm_impl, ki)
+    raise NotImplementedError(f"Generator model name [{netG}] is not recognized")
+
+
+def define_D(
+    input_nc: int,
+    ndf: int,
+    netD: str,
+    n_layers_D: int = 3,
+    norm: str = "instance",
+    init_type: str = "normal",
+    init_gain: float = 0.02,
+    norm_impl: str = "xla",
+) -> nn.Module:
+    ki = _make_init(init_type, init_gain)
+    if netD == "basic":
+        return NLayerDiscriminator(ndf, 3, norm, norm_impl, ki)
+    if netD == "n_layers":
+        return NLayerDiscriminator(ndf, n_layers_D, norm, norm_impl, ki)
+    if netD == "pixel":
+        return PixelDiscriminator(ndf, norm, norm_impl, ki)
+    raise NotImplementedError(f"Discriminator model name [{netD}] is not recognized")
+
+
+# ---------------------------------------------------------------------------
+# GAN objectives (reference GANLoss + cal_gradient_penalty)
+# ---------------------------------------------------------------------------
+
+
+def gan_loss(pred: jax.Array, target_is_real: bool, gan_mode: str) -> jax.Array:
+    """Reference GANLoss: lsgan=MSE vs 1/0, vanilla=BCE-with-logits, wgangp."""
+    if gan_mode == "lsgan":
+        target = 1.0 if target_is_real else 0.0
+        return jnp.mean(jnp.square(pred - target))
+    if gan_mode == "vanilla":
+        target = jnp.ones_like(pred) if target_is_real else jnp.zeros_like(pred)
+        return jnp.mean(
+            jnp.maximum(pred, 0) - pred * target + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+        )
+    if gan_mode == "wgangp":
+        return -jnp.mean(pred) if target_is_real else jnp.mean(pred)
+    raise NotImplementedError(f"gan mode {gan_mode!r}")
+
+
+def cal_gradient_penalty(
+    disc_apply: Callable[[Any, jax.Array], jax.Array],
+    params_d: Any,
+    real: jax.Array,
+    fake: jax.Array,
+    rng: jax.Array,
+    constant: float = 1.0,
+    lambda_gp: float = 10.0,
+    gp_type: str = "mixed",
+) -> jax.Array:
+    """WGAN-GP gradient penalty (reference cal_gradient_penalty)."""
+    if gp_type == "real":
+        interp = real
+    elif gp_type == "fake":
+        interp = fake
+    elif gp_type == "mixed":
+        alpha = jax.random.uniform(rng, (real.shape[0], 1, 1, 1), real.dtype)
+        interp = alpha * real + (1.0 - alpha) * fake
+    else:
+        raise NotImplementedError(gp_type)
+
+    def d_sum(x):
+        return jnp.sum(disc_apply(params_d, x))
+
+    grads = jax.grad(d_sum)(interp)
+    gnorm = jnp.sqrt(
+        jnp.sum(jnp.square(grads.reshape(real.shape[0], -1)), axis=1) + 1e-16
+    )
+    return jnp.mean(jnp.square(gnorm - constant)) * lambda_gp
+
+
+# ---------------------------------------------------------------------------
+# LR schedules (reference get_scheduler) — per-EPOCH multipliers
+# ---------------------------------------------------------------------------
+
+
+def get_lr_multiplier_fn(opt) -> Callable[[int, float], float]:
+    """Returns fn(epoch, metric) -> lr multiplier, stepped once per epoch.
+
+    'linear' matches the template:
+      mult = 1 - max(0, epoch + epoch_count - n_epochs) / (n_epochs_decay + 1)
+    """
+    policy = getattr(opt, "lr_policy", "linear")
+    if policy == "linear":
+        n_epochs = getattr(opt, "n_epochs", 100)
+        n_decay = getattr(opt, "n_epochs_decay", 100)
+        epoch_count = getattr(opt, "epoch_count", 1)
+
+        def fn(epoch, metric=None):
+            return 1.0 - max(0, epoch + epoch_count - n_epochs) / float(n_decay + 1)
+
+        return fn
+    if policy == "step":
+        iters = getattr(opt, "lr_decay_iters", 50)
+
+        def fn(epoch, metric=None):
+            return 0.1 ** (epoch // iters)
+
+        return fn
+    if policy == "cosine":
+        total = getattr(opt, "n_epochs", 100) + getattr(opt, "n_epochs_decay", 100)
+
+        def fn(epoch, metric=None):
+            return 0.5 * (1.0 + math.cos(math.pi * epoch / total))
+
+        return fn
+    if policy == "plateau":
+        # ReduceLROnPlateau(mode='min', factor=0.2, threshold=0.01, patience=5)
+        state = {"best": float("inf"), "bad": 0, "mult": 1.0}
+
+        def fn(epoch, metric=None):
+            if metric is not None:
+                if metric < state["best"] * (1 - 0.01):
+                    state["best"] = metric
+                    state["bad"] = 0
+                else:
+                    state["bad"] += 1
+                    if state["bad"] > 5:
+                        state["mult"] *= 0.2
+                        state["bad"] = 0
+            return state["mult"]
+
+        return fn
+    raise NotImplementedError(f"learning rate policy [{policy}] is not implemented")

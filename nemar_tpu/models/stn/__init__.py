@@ -1,0 +1,29 @@
+"""STN registry (reference models/stn/__init__.py: define_stn dispatch)."""
+
+from nemar_tpu.models.stn.affine_stn import AffineSTN
+from nemar_tpu.models.stn.unet_stn import UnetSTN
+
+
+def define_stn(opt, stn_type: str):
+    """Dispatch affine vs unet STN from option flags (reference define_stn)."""
+    nc = opt.input_nc + opt.output_nc
+    if stn_type == "affine":
+        return AffineSTN(
+            in_channels=nc,
+            ngf=getattr(opt, "stn_ngf", 32),
+            padding_mode=getattr(opt, "stn_padding_mode", "zeros"),
+        )
+    if stn_type == "unet":
+        return UnetSTN(
+            in_channels=nc,
+            ngf=getattr(opt, "stn_ngf", 32),
+            depth=getattr(opt, "stn_depth", 5),
+            flow_scale=getattr(opt, "stn_flow_scale", 1.0),
+            smooth_type=getattr(opt, "stn_smooth_type", "l1"),
+            padding_mode=getattr(opt, "stn_padding_mode", "zeros"),
+            bounded_flow=getattr(opt, "stn_bounded_flow", 0.0),
+        )
+    raise NotImplementedError(f"stn type {stn_type!r}")
+
+
+__all__ = ["AffineSTN", "UnetSTN", "define_stn"]

@@ -1,0 +1,77 @@
+"""Global affine STN (reference models/stn/affine_stn.py — SURVEY.md §3.1).
+
+Predicts a 6-parameter affine Δθ from the concatenated (a, b) pair through a
+small conv encoder + FC head. The head is ZERO-INITIALIZED so the warp
+starts at the identity (reference: last-layer zero-init). θ = identity + Δθ
+feeds affine_grid + grid_sample; the regularizer is the squared norm of Δθ
+(identity regularization, used instead of the TV smoothness term).
+
+API shape mirrors the reference: the module is called with the pair plus a
+tuple of tensors to warp with the SAME transformation, and returns
+(warped_tuple, reg_term) along with the transform parameters.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nemar_tpu.ops.norm import instance_norm_act
+from nemar_tpu.ops.warp import affine_grid, grid_sample
+
+conv_init = nn.initializers.normal(stddev=0.02)
+
+IDENTITY_THETA = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+
+
+class AffineSTN(nn.Module):
+    in_channels: int = 6  # nc_a + nc_b
+    ngf: int = 32
+    n_downs: int = 5
+    padding_mode: str = "zeros"
+    align_corners: bool = False
+    warp_impl: str = "auto"
+
+    @nn.compact
+    def predict_dtheta(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        """(N, 2, 3) residual affine params."""
+        h = jnp.concatenate([a, b], axis=-1)
+        ch = self.ngf
+        for i in range(self.n_downs):
+            h = nn.Conv(
+                ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                kernel_init=conv_init,
+            )(h)
+            h = instance_norm_act(h, act="leaky_relu")
+            ch = min(ch * 2, self.ngf * 8)
+        h = jnp.mean(h, axis=(1, 2))  # global average pool
+        h = nn.Dense(64, kernel_init=conv_init)(h)
+        h = jax.nn.leaky_relu(h, 0.2)
+        # Zero-init head: warp starts exactly at identity.
+        dtheta = nn.Dense(
+            6, kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros
+        )(h)
+        return dtheta.reshape(-1, 2, 3)
+
+    def __call__(
+        self, a: jax.Array, b: jax.Array, imgs: Sequence[jax.Array] = ()
+    ) -> Tuple[Tuple[jax.Array, ...], jax.Array, dict]:
+        """Returns (warped imgs, reg term, aux dict with 'theta'/'grid')."""
+        dtheta = self.predict_dtheta(a, b)
+        theta = IDENTITY_THETA[None].astype(dtheta.dtype) + dtheta
+        n = a.shape[0]
+        h, w = a.shape[1], a.shape[2]
+        grid = affine_grid(theta, (n, 1, h, w), self.align_corners)
+        warped = tuple(
+            grid_sample(
+                img, grid, mode="bilinear", padding_mode=self.padding_mode,
+                align_corners=self.align_corners, impl=self.warp_impl,
+            )
+            for img in imgs
+        )
+        # Identity regularization on the residual (SURVEY §3.1 [M]).
+        reg = jnp.mean(jnp.sum(jnp.square(dtheta.reshape(n, -1)), axis=1))
+        return warped, reg, {"theta": theta, "grid": grid, "dtheta": dtheta}

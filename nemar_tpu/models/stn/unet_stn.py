@@ -1,0 +1,106 @@
+"""Dense deformable STN (reference models/stn/unet_stn.py — SURVEY.md §3.1).
+
+A UNet over the concatenated (a, b) pair predicts a per-pixel 2-channel
+displacement field (normalized grid units). The final conv is
+ZERO-INITIALIZED so the warp starts at the identity. The field is added to
+the identity sampling grid and applied with bilinear grid_sample to every
+tensor in `imgs` (reference API: takes the pair plus a list of tensors to
+warp with the same φ). Smoothness regularization is the first-difference
+penalty on the offsets (reference: TV penalty Σ‖∇φ‖; L1/L2 selectable —
+SURVEY §8.4(d) decide-empirically item, default l1).
+
+`bounded_flow` optionally squashes the field through tanh·bound — a
+TPU-design option that guarantees a max displacement, which lets the Pallas
+halo-tile warp kernel run exactly (see ops/warp_pallas.py).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nemar_tpu.ops.norm import instance_norm_act
+from nemar_tpu.ops.warp import identity_grid, grid_sample
+
+conv_init = nn.initializers.normal(stddev=0.02)
+
+
+def smoothness_loss(flow: jax.Array, smooth_type: str = "l1") -> jax.Array:
+    """First-difference TV penalty on a (N, H, W, 2) field."""
+    dy = flow[:, 1:, :, :] - flow[:, :-1, :, :]
+    dx = flow[:, :, 1:, :] - flow[:, :, :-1, :]
+    if smooth_type == "l1":
+        return jnp.mean(jnp.abs(dy)) + jnp.mean(jnp.abs(dx))
+    if smooth_type == "l2":
+        return jnp.mean(jnp.square(dy)) + jnp.mean(jnp.square(dx))
+    raise NotImplementedError(f"smooth type {smooth_type!r}")
+
+
+class UnetSTN(nn.Module):
+    in_channels: int = 6
+    ngf: int = 32
+    depth: int = 5
+    flow_scale: float = 1.0
+    smooth_type: str = "l1"
+    padding_mode: str = "zeros"
+    align_corners: bool = False
+    warp_impl: str = "auto"
+    bounded_flow: float = 0.0  # >0: tanh-bound the field (normalized units)
+
+    @nn.compact
+    def predict_flow(self, a: jax.Array, b: jax.Array) -> jax.Array:
+        """(N, H, W, 2) displacement field in normalized grid units."""
+        h = jnp.concatenate([a, b], axis=-1)
+        chans = [min(self.ngf * 2**i, self.ngf * 8) for i in range(self.depth)]
+        skips = []
+        # Encoder: k3 s2 p1 + IN + LeakyReLU
+        for i, ch in enumerate(chans):
+            h = nn.Conv(
+                ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
+                kernel_init=conv_init,
+            )(h)
+            h = instance_norm_act(h, act="leaky_relu")
+            skips.append(h)
+        # Decoder: convT k4? use resize+conv (TPU-friendly, no checkerboard)
+        for i in reversed(range(self.depth)):
+            tgt_h = h.shape[1] * 2
+            tgt_w = h.shape[2] * 2
+            h = jax.image.resize(
+                h, (h.shape[0], tgt_h, tgt_w, h.shape[3]), method="nearest"
+            )
+            out_ch = chans[i - 1] if i > 0 else self.ngf
+            h = nn.Conv(
+                out_ch, (3, 3), padding=((1, 1), (1, 1)), kernel_init=conv_init
+            )(h)
+            h = instance_norm_act(h, act="leaky_relu")
+            if i > 0:
+                h = jnp.concatenate([skips[i - 1], h], axis=-1)
+        # Zero-init flow head: identity warp at init.
+        flow = nn.Conv(
+            2, (3, 3), padding=((1, 1), (1, 1)),
+            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
+        )(h)
+        flow = flow * self.flow_scale
+        if self.bounded_flow > 0:
+            flow = jnp.tanh(flow) * self.bounded_flow
+        return flow
+
+    def __call__(
+        self, a: jax.Array, b: jax.Array, imgs: Sequence[jax.Array] = ()
+    ) -> Tuple[Tuple[jax.Array, ...], jax.Array, dict]:
+        """Returns (warped imgs, smoothness reg, aux dict with 'flow')."""
+        flow = self.predict_flow(a, b)
+        n, h, w, _ = flow.shape
+        grid = identity_grid(h, w, self.align_corners, flow.dtype)[None] + flow
+        warped = tuple(
+            grid_sample(
+                img, grid, mode="bilinear", padding_mode=self.padding_mode,
+                align_corners=self.align_corners, impl=self.warp_impl,
+            )
+            for img in imgs
+        )
+        reg = smoothness_loss(flow, self.smooth_type)
+        return warped, reg, {"flow": flow, "grid": grid}
