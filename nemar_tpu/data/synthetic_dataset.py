@@ -1,0 +1,95 @@
+"""Synthetic misaligned multimodal pairs — no files needed.
+
+Not in the reference (its commercial dataset was never released — SURVEY.md
+§3.1 'NeMAR dataset'); this generator fills that gap so the framework is
+runnable end-to-end out of the box: smoke tests, benchmarks, and sanity
+training runs where registration is actually learnable.
+
+Each index deterministically produces:
+  * a smooth random 'scene' (low-frequency noise),
+  * modality A: one appearance mapping of the scene, geometrically
+    MISALIGNED by a random small affine transform,
+  * modality B: a different appearance mapping (inverted + channel-coded),
+    at the reference geometry.
+
+A registration model should learn to undo the misalignment; a translation
+model should learn the appearance mapping.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+from nemar_tpu.data.base_dataset import BaseDataset
+
+
+class SyntheticDataset(BaseDataset):
+    @staticmethod
+    def modify_commandline_options(parser, is_train):
+        parser.add_argument("--synthetic_size", type=int, default=64,
+                            help="number of synthetic pairs per epoch")
+        parser.add_argument("--synthetic_misalign", type=float, default=0.05,
+                            help="max affine misalignment (fraction of image size)")
+        parser.set_defaults(dataroot="__synthetic__", preprocess="none",
+                            load_size=256)
+        return parser
+
+    def __init__(self, opt):
+        super().__init__(opt)
+        self.size = getattr(opt, "synthetic_size", 64)
+        self.res = opt.crop_size
+        self.misalign = getattr(opt, "synthetic_misalign", 0.05)
+        self.input_nc = opt.input_nc
+        self.output_nc = opt.output_nc
+        self.seed = getattr(opt, "seed", 0)
+
+    def __len__(self):
+        return self.size
+
+    def _scene(self, rng: np.random.Generator) -> np.ndarray:
+        """Smooth random field in [0, 1] at full resolution."""
+        coarse = rng.standard_normal((self.res // 16, self.res // 16)).astype(np.float32)
+        img = Image.fromarray(coarse, mode="F").resize((self.res, self.res), Image.BICUBIC)
+        field = np.asarray(img, dtype=np.float32)
+        lo, hi = field.min(), field.max()
+        return (field - lo) / max(hi - lo, 1e-6)
+
+    def __getitem__(self, index):
+        rng = np.random.default_rng(self.seed * 100003 + index)
+        scene = self._scene(rng)
+
+        # modality B: appearance mapping at reference geometry
+        b = self._colorize(scene, self.output_nc, invert=True)
+
+        # modality A: different appearance, misaligned by a random affine
+        m = self.misalign * self.res
+        angle = rng.uniform(-self.misalign, self.misalign)  # radians
+        tx, ty = rng.uniform(-m, m, size=2)
+        ca, sa = np.cos(angle), np.sin(angle)
+        c = self.res / 2.0
+        # PIL affine takes the INVERSE map (output->input) coefficients.
+        a_img = Image.fromarray((scene * 255).astype(np.uint8)).transform(
+            (self.res, self.res), Image.AFFINE,
+            (ca, -sa, c - ca * c + sa * c + tx, sa, ca, c - sa * c - ca * c + ty),
+            resample=Image.BILINEAR, fillcolor=0,
+        )
+        a_scene = np.asarray(a_img, dtype=np.float32) / 255.0
+        a = self._colorize(a_scene, self.input_nc, invert=False)
+
+        return {
+            "A": a * 2.0 - 1.0,
+            "B": b * 2.0 - 1.0,
+            "A_paths": f"synthetic_{index:05d}_A.png",
+            "B_paths": f"synthetic_{index:05d}_B.png",
+        }
+
+    @staticmethod
+    def _colorize(scene: np.ndarray, nc: int, invert: bool) -> np.ndarray:
+        s = 1.0 - scene if invert else scene
+        if nc == 1:
+            return s[:, :, None]
+        chans = [s]
+        for k in range(1, nc):
+            chans.append(np.clip(np.sin(np.pi * s * (k + 1)) ** 2, 0, 1))
+        return np.stack(chans[:nc], axis=-1)

@@ -1,0 +1,191 @@
+"""Model base class (reference models/base_model.py — SURVEY.md §3.1).
+
+Same public surface as the reference's BaseModel (setup / eval / test /
+save_networks / load_networks / update_learning_rate / get_current_visuals /
+get_current_losses / set_input / optimize_parameters), TPU-native inside:
+
+  * all learnable state lives in ONE pytree (params + optimizer moments +
+    step) — no modules, no .to(device);
+  * checkpoints are orbax trees under checkpoints/{name}/ with a 'latest'
+    alias (reference kept per-net .pth files and did NOT save optimizer
+    state — we do, fixing the silent Adam-moment reset on --continue_train
+    noted in SURVEY.md §6);
+  * the LR schedule is stepped per-epoch on host and fed to the jitted step
+    as a scalar argument (no recompilation);
+  * data parallelism: batch sharded over a Mesh, params replicated
+    (nemar_tpu.parallel), XLA inserts the gradient psum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from abc import ABC, abstractmethod
+from collections import OrderedDict
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from nemar_tpu.models.networks import get_lr_multiplier_fn
+from nemar_tpu.parallel import make_mesh, replicate, shard_batch
+
+
+class BaseModel(ABC):
+    def __init__(self, opt):
+        self.opt = opt
+        self.isTrain = opt.isTrain
+        self.save_dir = os.path.join(opt.checkpoints_dir, opt.name)
+        os.makedirs(self.save_dir, exist_ok=True)
+        self.loss_names: list[str] = []
+        self.model_names: list[str] = []
+        self.visual_names: list[str] = []
+        self.metric = 0.0  # for the plateau scheduler
+        self.mesh = make_mesh(
+            getattr(opt, "num_devices", -1), getattr(opt, "mesh_spatial", 1)
+        )
+        self.shard_spatial = getattr(opt, "mesh_spatial", 1) > 1
+        self.state = None  # model-defined pytree
+        self._losses: dict[str, float] = {}
+        self._visuals: dict[str, np.ndarray] = {}
+        self._ckpt = ocp.StandardCheckpointer()
+
+    @staticmethod
+    def modify_commandline_options(parser, is_train):
+        return parser
+
+    # -- abstract hot path -------------------------------------------------
+    @abstractmethod
+    def set_input(self, data: dict):
+        ...
+
+    @abstractmethod
+    def forward(self):
+        ...
+
+    @abstractmethod
+    def optimize_parameters(self):
+        ...
+
+    # -- lifecycle ---------------------------------------------------------
+    def setup(self, opt):
+        """Schedulers + resume + print (reference BaseModel.setup)."""
+        if self.isTrain:
+            self.lr_fn = get_lr_multiplier_fn(opt)
+            self.current_lr = opt.lr
+        if not self.isTrain or getattr(opt, "continue_train", False):
+            load_suffix = f"iter_{opt.load_iter}" if opt.load_iter > 0 else opt.epoch
+            self.load_networks(load_suffix)
+        self.print_networks(getattr(opt, "verbose", False))
+
+    def eval(self):
+        """No train/eval module modes exist — forward is already pure."""
+
+    def test(self):
+        """Inference forward (reference wraps in no_grad; pure fns need none)."""
+        self.forward()
+
+    # -- losses / visuals --------------------------------------------------
+    def get_current_losses(self) -> "OrderedDict[str, float]":
+        return OrderedDict((k, float(v)) for k, v in self._losses.items())
+
+    def get_current_visuals(self) -> "OrderedDict[str, np.ndarray]":
+        return OrderedDict(
+            (k, np.asarray(v)) for k, v in self._visuals.items() if v is not None
+        )
+
+    def get_image_paths(self):
+        return getattr(self, "image_paths", [])
+
+    # -- LR schedule -------------------------------------------------------
+    def update_learning_rate(self, epoch: int | None = None):
+        """Step the per-epoch LR multiplier (reference update_learning_rate)."""
+        if epoch is None:
+            epoch = getattr(self, "_epoch", self.opt.epoch_count)
+            self._epoch = epoch + 1
+        mult = self.lr_fn(epoch, self.metric)
+        old = self.current_lr
+        self.current_lr = self.opt.lr * mult
+        print(f"learning rate {old:.7f} -> {self.current_lr:.7f}")
+
+    # -- checkpointing -----------------------------------------------------
+    def _ckpt_path(self, suffix: str) -> str:
+        return os.path.abspath(os.path.join(self.save_dir, f"{suffix}_state"))
+
+    def _params_tree(self):
+        return {
+            "step": self.state.step,
+            **{
+                f"params_{n}": getattr(self.state, f"params_{n}")
+                for n in self.model_names
+            },
+        }
+
+    def save_networks(self, suffix):
+        """Save checkpoints under checkpoints/{name}/{suffix}_{state,params}.
+
+        Reference analog: save_networks writing {epoch}_net_{Name}.pth per
+        net (SURVEY.md §4.4). Here TWO orbax trees are written: the full
+        train state (params + Adam moments + step + pool — fixing the
+        reference's silent optimizer-state loss on resume) and a slim
+        params-only tree for inference/test restore.
+        """
+        assert self.state is not None
+        suffix = str(suffix)
+        self._ckpt.save(self._ckpt_path(suffix), self.state, force=True)
+        self._ckpt.save(
+            self._ckpt_path(suffix).replace("_state", "_params"),
+            self._params_tree(),
+            force=True,
+        )
+        self._ckpt.wait_until_finished()
+        with open(os.path.join(self.save_dir, "checkpoint_meta.json"), "w") as f:
+            json.dump({"latest": suffix}, f)
+
+    def load_networks(self, suffix):
+        assert self.state is not None, "build state before loading"
+        suffix = str(suffix)
+        if suffix == "latest":
+            meta = os.path.join(self.save_dir, "checkpoint_meta.json")
+            if os.path.exists(meta):
+                with open(meta) as f:
+                    suffix = json.load(f)["latest"]
+        full = self.isTrain and getattr(self.opt, "continue_train", False)
+        path = self._ckpt_path(suffix)
+        if not full:
+            path = path.replace("_state", "_params")
+        if not os.path.exists(path):
+            print(f"no checkpoint found at {path}; starting fresh")
+            return
+        print(f"loading the model from {path}")
+        if full:
+            restored = self._ckpt.restore(path, self.state)
+            self.state = replicate(restored, self.mesh)
+        else:
+            restored = self._ckpt.restore(path, self._params_tree())
+            self.state = replicate(
+                self.state.replace(
+                    step=restored["step"],
+                    **{
+                        f"params_{n}": restored[f"params_{n}"]
+                        for n in self.model_names
+                    },
+                ),
+                self.mesh,
+            )
+
+    def print_networks(self, verbose: bool):
+        print("---------- Networks initialized -------------")
+        if self.state is not None:
+            for name in self.model_names:
+                params = getattr(self.state, f"params_{name}", None)
+                if params is not None:
+                    n = sum(x.size for x in jax.tree.leaves(params))
+                    print(f"[Network {name}] Total number of parameters : {n / 1e6:.3f} M")
+                    if verbose:
+                        print(jax.tree.map(lambda x: x.shape, params))
+        print("-----------------------------------------------")
+
+    # -- device placement --------------------------------------------------
+    def _put_batch(self, batch: dict) -> dict:
+        return shard_batch(self.mesh, batch, shard_spatial=self.shard_spatial)

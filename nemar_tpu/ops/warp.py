@@ -218,6 +218,92 @@ def _grid_sample_xla(
     return out.reshape(n, gh, gw, c)
 
 
+# ---------------------------------------------------------------------------
+# One-hot matmul implementation — the TPU fast path.
+#
+# XLA's gather lowers to a serial per-element loop on TPU (measured ~150 ms
+# for a single 64² warp on v5e — catastrophic). Bilinear sampling is instead
+# expressed as two separable one-hot contractions that run on the MXU:
+#
+#   out[p, c] = Σ_h Σ_w Ay[p, h] · img[h, w, c] · Bx[p, w]
+#
+# where Ay/Bx each have ≤2 nonzeros per row (the bilinear taps, validity
+# folded into the weights — the rectangle-bounds check factorizes per axis).
+# Gradients are transposed matmuls (no scatter). Exact for arbitrary grids.
+# ---------------------------------------------------------------------------
+
+
+def _axis_taps(coord: jax.Array, size: int, mode: str):
+    """Per-axis one-hot tap builder: returns (idx0, w0, idx1, w1).
+
+    Out-of-bounds taps keep their raw (uncast) index so the iota comparison
+    never matches -> contribution 0, which implements 'zeros' padding; for
+    'border'/'reflection' the coords were already mapped in-bounds.
+    """
+    if mode == "nearest":
+        i0 = jnp.round(coord)
+        return i0, jnp.ones_like(coord), i0, jnp.zeros_like(coord)
+    c0 = jnp.floor(coord)
+    w1 = coord - c0
+    return c0, 1.0 - w1, c0 + 1.0, w1
+
+
+def _onehot_weights(coord: jax.Array, size: int, mode: str) -> jax.Array:
+    """(..., size) sparse-as-dense tap weights along one axis."""
+    i0, w0, i1, w1 = _axis_taps(coord, size, mode)
+    iota = jnp.arange(size, dtype=coord.dtype)
+    a = jnp.where(iota == i0[..., None], w0[..., None], 0.0)
+    if mode != "nearest":
+        a = a + jnp.where(iota == i1[..., None], w1[..., None], 0.0)
+    return a
+
+
+def _grid_sample_mm(
+    img: jax.Array,
+    grid: jax.Array,
+    mode: str,
+    padding_mode: str,
+    align_corners: bool,
+    tile_rows: int = 8,
+) -> jax.Array:
+    n, h, w, c = img.shape
+    gn, gh, gw, gc = grid.shape
+    if gc != 2 or gn != n:
+        raise ValueError(f"bad grid shape {grid.shape} for image {img.shape}")
+    x = _compute_source_coords(grid[..., 0], w, align_corners, padding_mode)
+    y = _compute_source_coords(grid[..., 1], h, align_corners, padding_mode)
+
+    # fp32 inputs want exact (fp32-accumulated) MXU passes; bf16 inputs take
+    # the fast path.
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if img.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+
+    tr = min(tile_rows, gh)
+    pad = (-gh) % tr
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        y = jnp.pad(y, ((0, 0), (0, pad), (0, 0)))
+    nt = (gh + pad) // tr
+    xt = x.reshape(n, nt, tr * gw)
+    yt = y.reshape(n, nt, tr * gw)
+
+    def tile(carry, t):
+        xs = jax.lax.dynamic_index_in_dim(xt, t, axis=1, keepdims=False)
+        ys = jax.lax.dynamic_index_in_dim(yt, t, axis=1, keepdims=False)
+        ay = _onehot_weights(ys, h, mode)  # (n, P, h)
+        bx = _onehot_weights(xs, w, mode)  # (n, P, w)
+        tmp = jnp.einsum("nph,nhwc->npwc", ay, img, precision=prec)
+        out = jnp.einsum("npwc,npw->npc", tmp, bx, precision=prec)
+        return carry, out
+
+    _, tiles = jax.lax.scan(tile, None, jnp.arange(nt))
+    out = jnp.moveaxis(tiles, 0, 1).reshape(n, gh + pad, gw, c)
+    return out[:, :gh].astype(img.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("mode", "padding_mode", "align_corners", "impl")
 )
@@ -233,24 +319,37 @@ def grid_sample(
 
     torch.nn.functional.grid_sample semantics (see module docstring), NHWC.
 
-    impl: 'xla' (reference, differentiable), 'pallas' (TPU kernel forward
-    with custom VJP), or 'auto' (pallas on TPU backends, else xla).
+    impl:
+      'xla'    gather-based reference (fast on CPU; pathological on TPU —
+               XLA lowers gather to a serial loop there),
+      'mm'     one-hot matmul formulation (MXU; exact; fast on TPU),
+      'pallas' Pallas TPU kernel,
+      'auto'   pallas/mm on TPU, gather on CPU.
     """
     if impl == "auto":
-        impl = "pallas" if _pallas_available() else "xla"
+        if jax.default_backend() == "tpu":
+            impl = "pallas" if _pallas_available() else "mm"
+        else:
+            impl = "xla"
     if impl == "pallas":
         from nemar_tpu.ops import warp_pallas
 
         return warp_pallas.grid_sample_pallas(
             img, grid, mode=mode, padding_mode=padding_mode, align_corners=align_corners
         )
+    if impl == "mm":
+        return _grid_sample_mm(img, grid, mode, padding_mode, align_corners)
     return _grid_sample_xla(img, grid, mode, padding_mode, align_corners)
 
 
 @functools.cache
 def _pallas_available() -> bool:
     try:
-        return jax.default_backend() == "tpu"
+        if jax.default_backend() != "tpu":
+            return False
+        from nemar_tpu.ops import warp_pallas  # noqa: F401
+
+        return warp_pallas.KERNEL_READY
     except Exception:  # pragma: no cover
         return False
 

@@ -1,0 +1,78 @@
+"""Checkpoint/resume tests (reference save/load_networks — SURVEY §4.4/§6)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nemar_tpu.models import create_model
+from nemar_tpu.options import TrainOptions, TestOptions
+from tests.test_model_step import make_batch, make_opt
+
+
+def _tree_allclose(t1, t2, atol=0):
+    leaves1, leaves2 = jax.tree.leaves(t1), jax.tree.leaves(t2)
+    assert len(leaves1) == len(leaves2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+
+
+def test_save_load_roundtrip_full_state(tmp_path, rng):
+    opt = make_opt(tmp_path)
+    model = create_model(opt)
+    model.setup(opt)
+    model.set_input(make_batch(opt, rng))
+    model.optimize_parameters()
+    model.save_networks("latest")
+
+    # Resume into a fresh model: params AND Adam moments AND step restored.
+    opt2 = make_opt(tmp_path, ["--continue_train"])
+    model2 = create_model(opt2)
+    model2.setup(opt2)
+    assert int(model2.state.step) == 1
+    _tree_allclose(model2.state.params_G, model.state.params_G)
+    _tree_allclose(model2.state.opt_G, model.state.opt_G)
+    _tree_allclose(model2.state.params_R, model.state.params_R)
+
+
+def test_epoch_checkpoint_and_latest_alias(tmp_path, rng):
+    opt = make_opt(tmp_path)
+    model = create_model(opt)
+    model.setup(opt)
+    model.set_input(make_batch(opt, rng))
+    model.optimize_parameters()
+    model.save_networks(5)
+    # 'latest' resolves to epoch 5 through the alias file
+    opt2 = make_opt(tmp_path, ["--continue_train", "--epoch", "latest"])
+    model2 = create_model(opt2)
+    model2.setup(opt2)
+    assert int(model2.state.step) == 1
+
+
+def test_test_time_params_only_restore(tmp_path, rng):
+    opt = make_opt(tmp_path, ["--pool_size", "16"])  # train had a pool
+    model = create_model(opt)
+    model.setup(opt)
+    model.set_input(make_batch(opt, rng))
+    model.optimize_parameters()
+    model.save_networks("latest")
+
+    # Test-time model: no pool, no optimizers needed; params-only restore.
+    args = [
+        "--dataroot", "__synthetic__", "--name", "t", "--model", "nemar",
+        "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--dataset_mode", "synthetic",
+        "--crop_size", "32", "--load_size", "32",
+        "--ngf", "8", "--ndf", "8", "--netG", "resnet_6blocks",
+        "--stn_ngf", "8", "--stn_depth", "3", "--synthetic_size", "8",
+    ]
+    topt = TestOptions().parse(args)
+    tmodel = create_model(topt)
+    tmodel.setup(topt)
+    _tree_allclose(tmodel.state.params_G, model.state.params_G)
+    assert int(tmodel.state.step) == 1
+    # forward works from the restored params
+    tmodel.set_input(make_batch(topt, rng))
+    tmodel.test()
+    vis = tmodel.get_current_visuals()
+    assert np.isfinite(vis["fake_B"]).all()

@@ -1,0 +1,128 @@
+"""End-to-end model tests: NEMAR train step runs, losses sane, DP-sharded.
+
+Replaces the reference's nonexistent test suite (SURVEY §5) with the smoke
+coverage it lacked: a CPU-runnable full training step.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nemar_tpu.models import create_model
+from nemar_tpu.options import TrainOptions
+
+
+def make_opt(tmp_path, extra=None):
+    args = [
+        "--dataroot", "__synthetic__", "--name", "t", "--model", "nemar",
+        "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--dataset_mode", "synthetic",
+        "--crop_size", "32", "--load_size", "32",
+        "--batch_size", "8", "--ngf", "8", "--ndf", "8",
+        "--netG", "resnet_6blocks", "--stn_ngf", "8", "--stn_depth", "3",
+        "--synthetic_size", "8",
+    ] + (extra or [])
+    return TrainOptions().parse(args)
+
+
+def make_batch(opt, rng):
+    n = opt.batch_size
+    s = opt.crop_size
+    return {
+        "A": rng.standard_normal((n, s, s, opt.input_nc), dtype=np.float32) * 0.5,
+        "B": rng.standard_normal((n, s, s, opt.output_nc), dtype=np.float32) * 0.5,
+        "A_paths": [f"a{i}" for i in range(n)],
+    }
+
+
+@pytest.mark.parametrize("stn_type", ["affine", "unet"])
+def test_train_step_runs_and_losses_finite(tmp_path, rng, stn_type):
+    opt = make_opt(tmp_path, ["--stn_type", stn_type])
+    model = create_model(opt)
+    model.setup(opt)
+    batch = make_batch(opt, rng)
+    model.set_input(batch)
+    step0 = int(model.state.step)
+    model.optimize_parameters()
+    losses = model.get_current_losses()
+    assert set(losses) == {"D", "D_real", "D_fake", "G_GAN", "G_recon", "G_smooth", "G"}
+    for k, v in losses.items():
+        assert np.isfinite(v), f"loss {k} not finite"
+    assert int(model.state.step) == step0 + 1
+    # lsgan D loss at init: D(x)~0 => 0.5*(1+0)=~0.5
+    assert 0.05 < losses["D"] < 2.0
+
+
+def test_losses_decrease_over_steps(tmp_path, rng):
+    opt = make_opt(tmp_path, ["--stn_type", "unet", "--lambda_recon", "100"])
+    model = create_model(opt)
+    model.setup(opt)
+    batch = make_batch(opt, rng)
+    model.set_input(batch)
+    first = None
+    for i in range(8):
+        model.optimize_parameters()
+        if first is None:
+            first = model.get_current_losses()["G_recon"]
+    last = model.get_current_losses()["G_recon"]
+    assert last < first, f"recon did not decrease: {first} -> {last}"
+
+
+def test_forward_visuals(tmp_path, rng):
+    opt = make_opt(tmp_path)
+    model = create_model(opt)
+    model.setup(opt)
+    model.set_input(make_batch(opt, rng))
+    model.forward()
+    vis = model.get_current_visuals()
+    assert set(vis) == {"real_A", "real_B", "fake_B", "reg_fakeB", "warped_A", "fake_B2"}
+    assert vis["fake_B"].shape == (8, 32, 32, 3)
+
+
+def test_batch_is_dp_sharded(tmp_path, rng):
+    opt = make_opt(tmp_path)
+    model = create_model(opt)
+    model.setup(opt)
+    assert len(jax.devices()) == 8
+    model.set_input(make_batch(opt, rng))
+    # batch dim sharded across the 8-device 'data' axis
+    shard_shapes = {s.data.shape for s in model.real_A.addressable_shards}
+    assert shard_shapes == {(1, 32, 32, opt.input_nc)}
+    model.optimize_parameters()  # executes the psum path
+    assert np.isfinite(model.get_current_losses()["G"])
+
+
+def test_scan_path_matches_single_steps(tmp_path, rng):
+    opt = make_opt(tmp_path, ["--steps_per_execution", "2", "--pool_size", "0"])
+    model = create_model(opt)
+    model.setup(opt)
+    b1, b2 = make_batch(opt, rng), make_batch(opt, rng)
+    model.optimize_parameters_scan([b1, b2])
+    scan_losses = model.get_current_losses()
+    assert int(model.state.step) == 2
+
+    opt2 = make_opt(tmp_path, ["--name", "t2"])
+    model2 = create_model(opt2)
+    model2.setup(opt2)
+    for b in (b1, b2):
+        model2.set_input(b)
+        model2.optimize_parameters()
+    single_losses = model2.get_current_losses()
+    for k in scan_losses:
+        np.testing.assert_allclose(
+            scan_losses[k], single_losses[k], rtol=2e-3, atol=2e-4,
+        )
+
+
+def test_image_pool_engaged(tmp_path, rng):
+    opt = make_opt(tmp_path, ["--pool_size", "16"])
+    model = create_model(opt)
+    model.setup(opt)
+    assert model.state.pool is not None
+    model.set_input(make_batch(opt, rng))
+    model.optimize_parameters()
+    assert int(model.state.pool.count) == 8  # one batch inserted
+    model.optimize_parameters()
+    assert int(model.state.pool.count) == 16

@@ -1,0 +1,55 @@
+"""Option-layer tests: flag surface, dynamic injection, opt.txt dump."""
+
+import os
+
+from nemar_tpu.options import TrainOptions, TestOptions
+
+
+def _train_opt(tmp_path, extra=None):
+    args = [
+        "--dataroot", "x", "--name", "t", "--model", "nemar",
+        "--checkpoints_dir", str(tmp_path),
+        "--dataset_mode", "synthetic",
+    ] + (extra or [])
+    return TrainOptions().parse(args)
+
+
+class TestOptionSurface:
+    def test_model_flags_injected(self, tmp_path):
+        opt = _train_opt(tmp_path, ["--stn_type", "affine", "--lambda_recon", "50"])
+        assert opt.stn_type == "affine"
+        assert opt.lambda_recon == 50.0
+        assert opt.lambda_GAN == 1.0  # default injected by NEMARModel
+        # nemar sets template defaults (SURVEY §3.1): resnet-6 G, no pool
+        assert opt.netG == "resnet_6blocks"
+        assert opt.pool_size == 0
+        assert opt.no_dropout
+
+    def test_dataset_flags_injected(self, tmp_path):
+        opt = _train_opt(tmp_path, ["--synthetic_size", "7"])
+        assert opt.synthetic_size == 7
+
+    def test_niter_alias(self, tmp_path):
+        # vintage flag names accepted (SURVEY §8.4(f))
+        opt = _train_opt(tmp_path, ["--niter", "3", "--niter_decay", "4"])
+        assert opt.n_epochs == 3 and opt.n_epochs_decay == 4
+
+    def test_opt_txt_written(self, tmp_path):
+        _train_opt(tmp_path)
+        assert os.path.exists(os.path.join(tmp_path, "t", "train_opt.txt"))
+
+    def test_suffix_templating(self, tmp_path):
+        opt = _train_opt(tmp_path, ["--suffix", "{model}_{netG}"])
+        assert opt.name == "t_nemar_resnet_6blocks"
+
+    def test_test_options_force_eval_invariants(self, tmp_path):
+        args = [
+            "--dataroot", "x", "--name", "t", "--model", "nemar",
+            "--checkpoints_dir", str(tmp_path),
+            "--dataset_mode", "synthetic", "--batch_size", "8",
+        ]
+        opt = TestOptions().parse(args)
+        assert opt.batch_size == 1
+        assert opt.serial_batches
+        assert opt.no_flip
+        assert not opt.isTrain

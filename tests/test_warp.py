@@ -152,10 +152,11 @@ class TestSurveyGoldens:
 
 
 class TestRandomizedParity:
+    @pytest.mark.parametrize("impl", ["xla", "mm"])
     @pytest.mark.parametrize("padding_mode", ["zeros", "border", "reflection"])
     @pytest.mark.parametrize("align_corners", [False, True])
     @pytest.mark.parametrize("mode", ["bilinear", "nearest"])
-    def test_forward(self, rng, mode, padding_mode, align_corners):
+    def test_forward(self, rng, mode, padding_mode, align_corners, impl):
         img = rng.standard_normal((2, 3, 13, 17), dtype=np.float32)
         # Grid covering in-bounds and far out-of-bounds samples.
         grid = (rng.standard_normal((2, 9, 11, 2)) * 1.4).astype(np.float32)
@@ -165,9 +166,35 @@ class TestRandomizedParity:
             mode=mode,
             padding_mode=padding_mode,
             align_corners=align_corners,
+            impl=impl,
         )
         ref = _torch_gs(img, grid, mode, padding_mode, align_corners)
         np.testing.assert_allclose(np.asarray(ours), ref, atol=5e-6)
+
+    @pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+    def test_mm_backward_matches_torch(self, rng, padding_mode):
+        """The matmul path's grads (transposed matmuls) vs torch oracle."""
+        img = rng.standard_normal((1, 2, 8, 8), dtype=np.float32)
+        grid = (rng.standard_normal((1, 6, 6, 2)) * 0.9).astype(np.float32)
+        ct = rng.standard_normal((1, 2, 6, 6), dtype=np.float32)
+
+        def loss(i, g):
+            return jnp.sum(
+                grid_sample_nchw(i, g, padding_mode=padding_mode, impl="mm")
+                * jnp.asarray(ct)
+            )
+
+        dimg, dgrid = jax.grad(loss, argnums=(0, 1))(
+            jnp.asarray(img), jnp.asarray(grid)
+        )
+        ti = torch.from_numpy(img).requires_grad_(True)
+        tg = torch.from_numpy(grid).requires_grad_(True)
+        out = F.grid_sample(
+            ti, tg, mode="bilinear", padding_mode=padding_mode, align_corners=False
+        )
+        (out * torch.from_numpy(ct)).sum().backward()
+        np.testing.assert_allclose(np.asarray(dimg), ti.grad.numpy(), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dgrid), tg.grad.numpy(), atol=1e-5)
 
     @pytest.mark.parametrize("padding_mode", ["zeros", "border"])
     def test_backward_random(self, rng, padding_mode):
