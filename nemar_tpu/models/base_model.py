@@ -112,67 +112,74 @@ class BaseModel(ABC):
     def _ckpt_path(self, suffix: str) -> str:
         return os.path.abspath(os.path.join(self.save_dir, f"{suffix}_state"))
 
-    def _params_tree(self):
-        return {
-            "step": self.state.step,
-            **{
-                f"params_{n}": getattr(self.state, f"params_{n}")
-                for n in self.model_names
-            },
-        }
+    def _net_params(self, name: str):
+        """Params pytree of one net (overridable for suffixed names)."""
+        return getattr(self.state, f"params_{name}")
+
+    def _set_net_params(self, updates: dict):
+        """Fold restored per-net params back into the state (overridable)."""
+        return self.state.replace(
+            **{f"params_{n}": p for n, p in updates.items()}
+        )
 
     def save_networks(self, suffix):
-        """Save checkpoints under checkpoints/{name}/{suffix}_{state,params}.
+        """Save checkpoints under checkpoints/{name}/.
 
-        Reference analog: save_networks writing {epoch}_net_{Name}.pth per
-        net (SURVEY.md §4.4). Here TWO orbax trees are written: the full
-        train state (params + Adam moments + step + pool — fixing the
-        reference's silent optimizer-state loss on resume) and a slim
-        params-only tree for inference/test restore.
+        Layout mirrors the reference's per-net files (SURVEY.md §4.4:
+        {epoch}_net_{Name}.pth) as orbax trees {suffix}_net_{Name}, so any
+        model (e.g. --model test) can restore a subset of nets. A full
+        train-state tree {suffix}_state additionally carries Adam moments,
+        step, PRNG and pool — fixing the reference's silent optimizer-state
+        loss on --continue_train.
         """
         assert self.state is not None
         suffix = str(suffix)
         self._ckpt.save(self._ckpt_path(suffix), self.state, force=True)
-        self._ckpt.save(
-            self._ckpt_path(suffix).replace("_state", "_params"),
-            self._params_tree(),
-            force=True,
-        )
+        for n in self.model_names:
+            self._ckpt.save(
+                os.path.abspath(
+                    os.path.join(self.save_dir, f"{suffix}_net_{n}")
+                ),
+                self._net_params(n),
+                force=True,
+            )
         self._ckpt.wait_until_finished()
         with open(os.path.join(self.save_dir, "checkpoint_meta.json"), "w") as f:
-            json.dump({"latest": suffix}, f)
+            json.dump({"latest": suffix, "step": int(self.state.step)}, f)
 
     def load_networks(self, suffix):
         assert self.state is not None, "build state before loading"
         suffix = str(suffix)
-        if suffix == "latest":
-            meta = os.path.join(self.save_dir, "checkpoint_meta.json")
-            if os.path.exists(meta):
-                with open(meta) as f:
-                    suffix = json.load(f)["latest"]
-        full = self.isTrain and getattr(self.opt, "continue_train", False)
-        path = self._ckpt_path(suffix)
-        if not full:
-            path = path.replace("_state", "_params")
-        if not os.path.exists(path):
-            print(f"no checkpoint found at {path}; starting fresh")
-            return
-        print(f"loading the model from {path}")
-        if full:
+        meta_path = os.path.join(self.save_dir, "checkpoint_meta.json")
+        meta = {}
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        if suffix == "latest" and "latest" in meta:
+            suffix = str(meta["latest"])
+
+        if self.isTrain and getattr(self.opt, "continue_train", False):
+            path = self._ckpt_path(suffix)
+            if not os.path.exists(path):
+                print(f"no checkpoint found at {path}; starting fresh")
+                return
+            print(f"loading the model from {path}")
             restored = self._ckpt.restore(path, self.state)
             self.state = replicate(restored, self.mesh)
-        else:
-            restored = self._ckpt.restore(path, self._params_tree())
-            self.state = replicate(
-                self.state.replace(
-                    step=restored["step"],
-                    **{
-                        f"params_{n}": restored[f"params_{n}"]
-                        for n in self.model_names
-                    },
-                ),
-                self.mesh,
-            )
+            return
+
+        updates = {}
+        for n in self.model_names:
+            path = os.path.abspath(os.path.join(self.save_dir, f"{suffix}_net_{n}"))
+            if not os.path.exists(path):
+                print(f"no checkpoint found at {path}; starting fresh")
+                return
+            print(f"loading the model from {path}")
+            updates[n] = self._ckpt.restore(path, self._net_params(n))
+        state = self._set_net_params(updates)
+        if "step" in meta:
+            state = state.replace(step=jax.numpy.asarray(meta["step"], jax.numpy.int32))
+        self.state = replicate(state, self.mesh)
 
     def print_networks(self, verbose: bool):
         print("---------- Networks initialized -------------")

@@ -157,6 +157,13 @@ class UnetGenerator(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         ki = self.kernel_init
+        need = 2**self.num_downs
+        if x.shape[1] % need or x.shape[2] % need or min(x.shape[1], x.shape[2]) < need:
+            raise ValueError(
+                f"UnetGenerator with num_downs={self.num_downs} needs input "
+                f"H/W divisible by and >= {need}, got {x.shape[1]}x{x.shape[2]} "
+                f"(use --netG unet_128/unet_256 to match --crop_size)"
+            )
         chans = [
             min(self.ngf * 2**i, self.ngf * 8) for i in range(self.num_downs)
         ]
