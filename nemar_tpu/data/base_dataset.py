@@ -56,6 +56,10 @@ def get_transform(opt, params=None, grayscale=False, method=Image.BICUBIC,
     """Compose the preprocessing pipeline (reference get_transform).
 
     Returns fn: PIL.Image -> HWC float32 numpy in [-1, 1].
+
+    The crop+flip+normalize tail runs through the native C++ kernel
+    (native/augment.cpp, one fused pass into the batch dtype) when the
+    library is built; the numpy path is the bit-identical fallback.
     """
     steps = []
     if grayscale:
@@ -68,7 +72,12 @@ def get_transform(opt, params=None, grayscale=False, method=Image.BICUBIC,
     elif "scale_width" in opt.preprocess:
         steps.append(lambda img: _scale_width(img, opt.load_size, opt.crop_size, method))
 
-    if "crop" in opt.preprocess:
+    # fused native tail: crop (+flip) + normalize in one pass
+    use_native_tail = (
+        convert and "crop" in opt.preprocess and params is not None
+    )
+
+    if "crop" in opt.preprocess and not use_native_tail:
         if params is None:
             steps.append(lambda img: _center_crop(img, opt.crop_size))
         else:
@@ -77,17 +86,31 @@ def get_transform(opt, params=None, grayscale=False, method=Image.BICUBIC,
     if opt.preprocess == "none":
         steps.append(lambda img: _make_power_2(img, base=4, method=method))
 
-    if not opt.no_flip:
-        if params is None:
-            pass  # random per-image flip needs params; none given -> skip
-        elif params["flip"]:
-            steps.append(lambda img: img.transpose(Image.FLIP_LEFT_RIGHT))
+    do_flip = (not opt.no_flip) and params is not None and params["flip"]
+    if do_flip and not use_native_tail:
+        steps.append(lambda img: img.transpose(Image.FLIP_LEFT_RIGHT))
 
     def apply(img: Image.Image) -> np.ndarray:
         for s in steps:
             img = s(img)
         if not convert:
             return img
+        if use_native_tail:
+            from nemar_tpu.data import native_ops
+
+            arr = np.asarray(img, dtype=np.uint8)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            h, w = arr.shape[:2]
+            cs = opt.crop_size
+            if h >= cs and w >= cs:
+                x, y = params["crop_pos"]
+                x = min(x, w - cs)
+                y = min(y, h - cs)
+                return native_ops.crop_flip_norm(arr, y, x, cs, cs, do_flip)
+            # undersized image: skip crop (reference _crop behavior)
+            out = arr.astype(np.float32) / 127.5 - 1.0
+            return out[:, ::-1].copy() if do_flip else out
         arr = np.asarray(img, dtype=np.float32) / 255.0
         if arr.ndim == 2:
             arr = arr[:, :, None]

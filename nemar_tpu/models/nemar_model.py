@@ -190,13 +190,18 @@ class NEMARModel(BaseModel):
         out, aux = self._forward_parts(state.params_G, state.params_R, a, b)
         return out
 
-    def _d_loss(self, pd, fake, b):
+    def _d_loss(self, pd, fake, b, rng=None):
         cd = self._cast(pd)
         pred_real = self.netD.apply(cd, self._cast(b)).astype(jnp.float32)
         pred_fake = self.netD.apply(cd, self._cast(fake)).astype(jnp.float32)
         l_real = networks.gan_loss(pred_real, True, self.gan_mode)
         l_fake = networks.gan_loss(pred_fake, False, self.gan_mode)
-        return 0.5 * (l_real + l_fake), (l_real, l_fake)
+        loss = 0.5 * (l_real + l_fake)
+        if self.gan_mode == "wgangp":
+            loss = loss + networks.cal_gradient_penalty(
+                lambda p, x: self.netD.apply(p, x), pd, b, fake, rng
+            )
+        return loss, (l_real, l_fake)
 
     def _g_loss(self, pgr, pd, a, b):
         out, _ = self._forward_parts(pgr["G"], pgr["R"], a, b)
@@ -218,7 +223,7 @@ class NEMARModel(BaseModel):
 
     def _train_step_impl(self, state: NemarState, a, b, lr):
         """One reference optimize_parameters() (SURVEY §4.2), one XLA program."""
-        rng, r_pool = jax.random.split(state.rng)
+        rng, r_pool, r_gp = jax.random.split(state.rng, 3)
 
         # ---- D step: current fake, detached --------------------------------
         out_det = jax.lax.stop_gradient(
@@ -231,7 +236,7 @@ class NEMARModel(BaseModel):
 
         (loss_D, (l_dr, l_df)), grads_D = jax.value_and_grad(
             self._d_loss, has_aux=True
-        )(state.params_D, fake_for_D, b)
+        )(state.params_D, fake_for_D, b, r_gp)
         upd_D, opt_D = self.tx.update(grads_D, state.opt_D, state.params_D)
         params_D = self._apply_updates(state.params_D, upd_D, lr)
 

@@ -61,9 +61,10 @@ class AffineSTN(nn.Module):
     ) -> Tuple[Tuple[jax.Array, ...], jax.Array, dict]:
         """Returns (warped imgs, reg term, aux dict with 'theta'/'grid')."""
         dtheta = self.predict_dtheta(a, b)
-        theta = IDENTITY_THETA[None].astype(dtheta.dtype) + dtheta
+        theta = IDENTITY_THETA[None].astype(jnp.float32) + dtheta.astype(jnp.float32)
         n = a.shape[0]
         h, w = a.shape[1], a.shape[2]
+        # fp32 grid even under bf16 compute (coordinate precision).
         grid = affine_grid(theta, (n, 1, h, w), self.align_corners)
         warped = tuple(
             grid_sample(

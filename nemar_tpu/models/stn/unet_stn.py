@@ -94,7 +94,12 @@ class UnetSTN(nn.Module):
         """Returns (warped imgs, smoothness reg, aux dict with 'flow')."""
         flow = self.predict_flow(a, b)
         n, h, w, _ = flow.shape
-        grid = identity_grid(h, w, self.align_corners, flow.dtype)[None] + flow
+        # Grid coordinates stay fp32 even under bf16 compute: bf16 coords
+        # quantize to ~1 px at the far edge of a 256-wide image.
+        grid = (
+            identity_grid(h, w, self.align_corners, jnp.float32)[None]
+            + flow.astype(jnp.float32)
+        )
         warped = tuple(
             grid_sample(
                 img, grid, mode="bilinear", padding_mode=self.padding_mode,

@@ -272,6 +272,28 @@ def _grid_sample_mm(
         raise ValueError(f"bad grid shape {grid.shape} for image {img.shape}")
     x = _compute_source_coords(grid[..., 0], w, align_corners, padding_mode)
     y = _compute_source_coords(grid[..., 1], h, align_corners, padding_mode)
+    return _mm_core(img, x, y, mode, tile_rows)
+
+
+def _grid_sample_mm_pix(
+    img_p: jax.Array, x_pix: jax.Array, y_pix: jax.Array, mode: str
+) -> jax.Array:
+    """mm path on already-transformed PIXEL coords, NCHW planes in/out
+    (used as the Pallas kernel's exactness fallback branch)."""
+    img = jnp.transpose(img_p, (0, 2, 3, 1))
+    out = _mm_core(img, x_pix, y_pix, mode, 8)
+    return jnp.transpose(out, (0, 3, 1, 2))
+
+
+def _mm_core(
+    img: jax.Array,
+    x: jax.Array,
+    y: jax.Array,
+    mode: str,
+    tile_rows: int = 8,
+) -> jax.Array:
+    n, h, w, c = img.shape
+    gh, gw = x.shape[1], x.shape[2]
 
     # fp32 inputs want exact (fp32-accumulated) MXU passes; bf16 inputs take
     # the fast path.
@@ -290,11 +312,15 @@ def _grid_sample_mm(
     xt = x.reshape(n, nt, tr * gw)
     yt = y.reshape(n, nt, tr * gw)
 
+    # remat: without it, AD through the scan saves each tile's (P, W, C)
+    # einsum intermediate -> O(H·W·W·C) residual memory (hundreds of GB at
+    # 256²/batch); recomputing the one-hots in the backward is nearly free.
+    @jax.checkpoint
     def tile(carry, t):
         xs = jax.lax.dynamic_index_in_dim(xt, t, axis=1, keepdims=False)
         ys = jax.lax.dynamic_index_in_dim(yt, t, axis=1, keepdims=False)
-        ay = _onehot_weights(ys, h, mode)  # (n, P, h)
-        bx = _onehot_weights(xs, w, mode)  # (n, P, w)
+        ay = _onehot_weights(ys, h, mode).astype(img.dtype)  # (n, P, h)
+        bx = _onehot_weights(xs, w, mode).astype(img.dtype)  # (n, P, w)
         tmp = jnp.einsum("nph,nhwc->npwc", ay, img, precision=prec)
         out = jnp.einsum("npwc,npw->npc", tmp, bx, precision=prec)
         return carry, out
@@ -326,6 +352,10 @@ def grid_sample(
       'pallas' Pallas TPU kernel,
       'auto'   pallas/mm on TPU, gather on CPU.
     """
+    # Sampling coordinates must never round through bf16 (1 px of error at
+    # the far edge of a 256-wide image); values may.
+    if grid.dtype != jnp.float32:
+        grid = grid.astype(jnp.float32)
     if impl == "auto":
         if jax.default_backend() == "tpu":
             impl = "pallas" if _pallas_available() else "mm"

@@ -1,0 +1,379 @@
+"""Pallas TPU grid-sample kernel — the north-star warp (BASELINE.json).
+
+Why a kernel at all: XLA lowers gather on TPU to a serial per-element loop
+(measured 150+ ms for ONE 64² warp on v5e), and the pure-XLA one-hot matmul
+fallback (ops/warp.py impl='mm') contracts against the FULL image height and
+streams its one-hot operands through HBM. This kernel keeps everything in
+VMEM and contracts only against a bounded row SLAB around each output tile.
+
+Layout (Mosaic-shaped): output pixels of a row-tile live on the LANE axis
+(P = tile_rows·W lanes); the bilinear tap one-hots are built directly in
+transposed form, so the kernel needs no in-kernel reshapes/transposes
+(Mosaic supports neither across lanes):
+
+  per (sample n, row-tile t) grid step:
+    slab   = img[rowstart(n,t) : rowstart+S, :]        (VMEM ref slice,
+                                                        rowstart 8-aligned)
+    AyT    = y-tap one-hots  (S × P)   built from iota==floor(y) compares
+    tmpT   = slabᵀ·contract·AyT  -> (C·W × P)          (MXU, channels fused)
+    BxT    = x-tap one-hots  (W × P)
+    out_c  = Σ_w tmpT_c ⊙ BxT        (VPU sublane reduction -> (1, P))
+
+  custom VJP (same tiling):
+    dslab  = AyT ·contract_P· (g ⊙ BxT)ᵀ-form           — scatter-add as a
+                                                          matmul, accumulated
+                                                          into the dimg plane
+    d_x    = Σ_c g_c ⊙ Σ_w (tmpT_c ⊙ dBxT)
+    d_y    = Σ_c g_c ⊙ Σ_w ((slab·AydT)_c ⊙ BxT)
+
+Exactness precondition: each output row-tile's source rows must fit in the
+S-row slab (S ≈ tile_rows + 2·max_disp_px, clamped to H). The wrapper
+computes per-tile row spans OUTSIDE the kernel and lax.cond-falls back to
+the exact mm path when any tile violates the bound — results are ALWAYS
+exact; the kernel is the fast path for bounded displacements (registration
+fields are smoothness-regularized; --stn_bounded_flow makes the bound a
+hard guarantee).
+
+Coordinate unnormalization + padding-mode transforms happen outside in
+differentiable jnp (ops/warp.py semantics, torch-parity tested); the
+custom_vjp wraps only core(img, x_pix, y_pix), so padding/align_corners
+chain rules come from JAX autodiff of the outer transform.
+
+Constraints for the kernel path: bilinear only, W % 128 == 0, H % 8 == 0.
+Anything else routes to impl='mm'.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+KERNEL_READY = True
+
+_INTERPRET = None
+
+
+def _interpret() -> bool:
+    global _INTERPRET
+    if _INTERPRET is None:
+        _INTERPRET = jax.default_backend() != "tpu"
+    return _INTERPRET
+
+
+_CONTRACT_S = (((0,), (0,)), ((), ()))  # contract dim0 with dim0
+_CONTRACT_P = (((1,), (1,)), ((), ()))  # contract dim1 with dim1
+# fp32 taps/slabs must not round through 1-pass bf16 on the MXU (costs the
+# 1e-3 parity bar); HIGHEST = multi-pass exact fp32.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers (coords are (1, P) rows; one-hots built transposed)
+# ---------------------------------------------------------------------------
+
+
+def _taps_t(coord_row, extent):
+    """Transposed bilinear one-hots: (extent, P) weights and d/dcoord."""
+    p = coord_row.shape[1]
+    c0 = jnp.floor(coord_row)                       # (1, P)
+    w1 = coord_row - c0
+    c0i = jnp.clip(c0, -2.0, float(extent) + 1.0).astype(jnp.int32)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (extent, p), 0)
+    m0 = (iota == c0i).astype(coord_row.dtype)      # broadcast (1,P)->(E,P)
+    m1 = (iota == c0i + 1).astype(coord_row.dtype)
+    taps = m0 * (1.0 - w1) + m1 * w1
+    dtaps = m1 - m0
+    return taps, dtaps
+
+
+def _slab_cat(img_ref, rs, c, s):
+    """(S, C*W) slab, channels concatenated along lanes (block is 1,C,H,W).
+
+    rs is 8-aligned (Mosaic requires provably sublane-aligned dynamic
+    vector loads)."""
+    rs = pl.multiple_of(rs, 8)
+    parts = [img_ref[0, ci, pl.ds(rs, s), :] for ci in range(c)]
+    return jnp.concatenate(parts, axis=1) if c > 1 else parts[0]
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(rowstart_ref, x_ref, y_ref, img_ref, out_ref, *, c, s, w, mxu_bf16):
+    t = pl.program_id(1)
+    rs = rowstart_ref[pl.program_id(0), t]
+    xrow = x_ref[0, 0]                 # (1, P) pixel x coords
+    yrow = y_ref[0, 0]                 # (1, P) pixel y coords
+
+    ylocal = yrow - rs.astype(yrow.dtype)
+    ayt, _ = _taps_t(ylocal, s)        # (S, P)
+    bxt, _ = _taps_t(xrow, w)          # (W, P)
+    slab = _slab_cat(img_ref, rs, c, s)  # (S, C*W)
+    if mxu_bf16:
+        slab = slab.astype(jnp.bfloat16)
+        ayt = ayt.astype(jnp.bfloat16)
+    # tmpT[cw, p] = Σ_s slab[s, cw] · AyT[s, p]
+    tmpt = jax.lax.dot_general(
+        slab, ayt, dimension_numbers=_CONTRACT_S,
+        preferred_element_type=jnp.float32,
+        precision=None if mxu_bf16 else _PREC,
+    )                                   # (C*W, P)
+    for ci in range(c):
+        tc = tmpt[ci * w : (ci + 1) * w, :]
+        out_ref[0, 0, ci] = jnp.sum(tc * bxt, axis=0, keepdims=True)  # (1, P)
+
+
+def _fwd_pallas(img_p, x_row, y_row, rowstart, *, s, mxu_bf16=False):
+    n, c, h, w = img_p.shape
+    nt, p = x_row.shape[1], x_row.shape[3]
+    kernel = functools.partial(_fwd_kernel, c=c, s=s, w=w, mxu_bf16=mxu_bf16)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, p), lambda nn, t, rss: (nn, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p), lambda nn, t, rss: (nn, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, h, w), lambda nn, t, rss: (nn, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, c, 1, p),
+                               lambda nn, t, rss: (nn, t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, nt, c, 1, p), jnp.float32),
+        interpret=_interpret(),
+    )(rowstart, x_row, y_row, img_p)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(rowstart_ref, x_ref, y_ref, img_ref, g_ref,
+                dimg_ref, dx_ref, dy_ref, *, c, s, w, mxu_bf16):
+    t = pl.program_id(1)
+    rs = rowstart_ref[pl.program_id(0), t]
+    xrow = x_ref[0, 0]                 # (1, P)
+    yrow = y_ref[0, 0]
+
+    @pl.when(t == 0)
+    def _init():
+        dimg_ref[...] = jnp.zeros_like(dimg_ref)
+
+    ylocal = yrow - rs.astype(yrow.dtype)
+    ayt, aydt = _taps_t(ylocal, s)     # (S, P)
+    bxt, bxdt = _taps_t(xrow, w)       # (W, P)
+    slab = _slab_cat(img_ref, rs, c, s)                       # (S, C*W)
+    mm = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    prec = None if mxu_bf16 else _PREC
+    slab_m = slab.astype(mm)
+    tmpt = jax.lax.dot_general(
+        slab_m, ayt.astype(mm), dimension_numbers=_CONTRACT_S,
+        preferred_element_type=jnp.float32, precision=prec,
+    )                                   # (C*W, P)
+    tmpdt = jax.lax.dot_general(
+        slab_m, aydt.astype(mm), dimension_numbers=_CONTRACT_S,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+    gs = [g_ref[0, 0, ci] for ci in range(c)]                 # each (1, P)
+
+    # dimg: dtmpT[cw, p] = g_c[p]·BxT[w, p]; dslab[s, cw] = Σ_p AyT[s,p]·dtmpT[cw,p]
+    dtmpt = (
+        jnp.concatenate([gs[ci] * bxt for ci in range(c)], axis=0)
+        if c > 1 else gs[0] * bxt
+    )                                   # (C*W, P)
+    dslab = jax.lax.dot_general(
+        ayt.astype(mm), dtmpt.astype(mm), dimension_numbers=_CONTRACT_P,
+        preferred_element_type=jnp.float32, precision=prec,
+    )                                   # (S, C*W)
+    rs_al = pl.multiple_of(rs, 8)
+    for ci in range(c):
+        dimg_ref[0, ci, pl.ds(rs_al, s), :] += dslab[:, ci * w : (ci + 1) * w]
+
+    dx = jnp.zeros_like(xrow)
+    dy = jnp.zeros_like(yrow)
+    for ci in range(c):
+        tc = tmpt[ci * w : (ci + 1) * w, :]
+        tdc = tmpdt[ci * w : (ci + 1) * w, :]
+        dx = dx + gs[ci] * jnp.sum(tc * bxdt, axis=0, keepdims=True)
+        dy = dy + gs[ci] * jnp.sum(tdc * bxt, axis=0, keepdims=True)
+    dx_ref[0, 0] = dx
+    dy_ref[0, 0] = dy
+
+
+def _bwd_pallas(img_p, x_row, y_row, rowstart, g, *, s, mxu_bf16=False):
+    n, c, h, w = img_p.shape
+    nt, p = x_row.shape[1], x_row.shape[3]
+    kernel = functools.partial(_bwd_kernel, c=c, s=s, w=w, mxu_bf16=mxu_bf16)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, p), lambda nn, t, rss: (nn, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p), lambda nn, t, rss: (nn, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, h, w), lambda nn, t, rss: (nn, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c, 1, p), lambda nn, t, rss: (nn, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, h, w), lambda nn, t, rss: (nn, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p), lambda nn, t, rss: (nn, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p), lambda nn, t, rss: (nn, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, nt, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((n, nt, 1, p), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(rowstart, x_row, y_row, img_p, g)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP core: (img NCHW fp32, x/y rows (N,T,1,P)) -> out (N,C,T,P)
+# ---------------------------------------------------------------------------
+
+
+def _rowstarts_rows(y_row, h, s):
+    """Per-tile slab starts (8-aligned) + exactness flag (computed in XLA)."""
+    y0 = jnp.floor(y_row[:, :, 0, :])              # (N, T, P)
+    lo = jnp.clip(jnp.min(y0, axis=2), 0.0, float(h - 1))
+    hi = jnp.clip(jnp.max(y0, axis=2) + 1.0, 0.0, float(h - 1))
+    start = jnp.clip(lo, 0.0, float(h - s)).astype(jnp.int32)
+    start = (start // 8) * 8  # sublane alignment for the in-kernel slab load
+    # aligned start can sit up to 7 rows below lo; slab must still reach hi
+    ok = jnp.all(hi - start.astype(hi.dtype) + 1.0 <= float(s))
+    return start, ok
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _warp_core(img_p, x_row, y_row, s, mxu_bf16):
+    rowstart, _ = _rowstarts_rows(y_row, img_p.shape[2], s)
+    return _fwd_pallas(img_p, x_row, y_row, rowstart, s=s, mxu_bf16=mxu_bf16)
+
+
+def _warp_core_fwd(img_p, x_row, y_row, s, mxu_bf16):
+    rowstart, _ = _rowstarts_rows(y_row, img_p.shape[2], s)
+    out = _fwd_pallas(img_p, x_row, y_row, rowstart, s=s, mxu_bf16=mxu_bf16)
+    return out, (img_p, x_row, y_row, rowstart)
+
+
+def _warp_core_bwd(s, mxu_bf16, res, g):
+    img_p, x_row, y_row, rowstart = res
+    dimg, dx, dy = _bwd_pallas(img_p, x_row, y_row, rowstart, g, s=s,
+                               mxu_bf16=mxu_bf16)
+    return dimg, dx, dy
+
+
+_warp_core.defvjp(_warp_core_fwd, _warp_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def kernel_supported(img_shape: Tuple[int, ...], grid_shape: Tuple[int, ...],
+                     mode: str) -> bool:
+    n, h, w, c = img_shape
+    _, gh, gw, _ = grid_shape
+    return (
+        mode == "bilinear"
+        and w == gw
+        and w % 128 == 0
+        and gh % 8 == 0
+        and h % 8 == 0
+        and h >= 16
+    )
+
+
+def grid_sample_pallas(
+    img: jax.Array,
+    grid: jax.Array,
+    mode: str = "bilinear",
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+    max_disp_px: int = 48,
+    tile_rows: int = 8,
+) -> jax.Array:
+    """grid_sample with the Pallas slab kernel (exact; auto-fallback to mm).
+
+    See module docstring. Falls back to impl='mm' entirely when shapes are
+    unsupported, and per-call via lax.cond when a tile's row span exceeds
+    the slab (keeps results exact for unbounded warps like rotations).
+    """
+    from nemar_tpu.ops import warp as warp_mod
+
+    if not kernel_supported(img.shape, grid.shape, mode):
+        return warp_mod._grid_sample_mm(img, grid, mode, padding_mode, align_corners)
+
+    n, h, w, c = img.shape
+    gh = grid.shape[1]
+    # P = th*W lanes; keep the (C*W, P) tmp under ~3 MB of VMEM.
+    th = tile_rows
+    while th > 1 and c * w * th * w * 4 > 3 * 1024 * 1024:
+        th //= 2
+    if gh % th:
+        return warp_mod._grid_sample_mm(img, grid, mode, padding_mode, align_corners)
+    p = th * w
+    nt = gh // th
+    # +8 headroom: rowstart is rounded DOWN to a sublane multiple
+    s = min(h, th + 2 * max_disp_px + 8)
+    s = -(-s // 8) * 8  # round up to sublane multiple
+    s = min(s, h)
+
+    orig_dtype = img.dtype
+    x_pix = warp_mod._compute_source_coords(
+        grid[..., 0], w, align_corners, padding_mode
+    ).astype(jnp.float32)
+    y_pix = warp_mod._compute_source_coords(
+        grid[..., 1], h, align_corners, padding_mode
+    ).astype(jnp.float32)
+    img_p = jnp.transpose(img, (0, 3, 1, 2)).astype(jnp.float32)  # N C H W
+
+    # flatten per-tile pixels into (N, T, 1, P) lane rows (XLA-side reshape;
+    # Mosaic can't reshape across lanes in-kernel)
+    x_row = x_pix.reshape(n, nt, 1, p)
+    y_row = y_pix.reshape(n, nt, 1, p)
+
+    _, ok = _rowstarts_rows(y_row, h, s)
+
+    mxu_bf16 = orig_dtype == jnp.bfloat16
+
+    def fast(args):
+        i, xr, yr = args
+        out = _warp_core(i, xr, yr, s, mxu_bf16)  # (N, T, C, 1, P)
+        return jnp.transpose(out[:, :, :, 0, :], (0, 2, 1, 3)).reshape(n, c, gh, w)
+
+    def slow(args):
+        i, xr, yr = args
+        return warp_mod._grid_sample_mm_pix(
+            i, xr.reshape(n, gh, w), yr.reshape(n, gh, w), mode
+        )
+
+    out_p = jax.lax.cond(ok, fast, slow, (img_p, x_row, y_row))
+    return jnp.transpose(out_p, (0, 2, 3, 1)).astype(orig_dtype)

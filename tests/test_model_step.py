@@ -126,3 +126,14 @@ def test_image_pool_engaged(tmp_path, rng):
     assert int(model.state.pool.count) == 8  # one batch inserted
     model.optimize_parameters()
     assert int(model.state.pool.count) == 16
+
+
+def test_wgangp_mode(tmp_path, rng):
+    """wgangp D objective + gradient penalty compiles and is finite."""
+    opt = make_opt(tmp_path, ["--gan_mode", "wgangp", "--name", "wgp"])
+    model = create_model(opt)
+    model.setup(opt)
+    model.set_input(make_batch(opt, rng))
+    model.optimize_parameters()
+    losses = model.get_current_losses()
+    assert all(np.isfinite(v) for v in losses.values()), losses

@@ -1,0 +1,100 @@
+"""Pallas warp kernel tests (interpret mode on CPU) vs the XLA reference.
+
+Shapes follow the kernel's support envelope (W % 128 == 0, rows % 8 == 0);
+the torch-parity of the XLA reference is established in test_warp.py, so
+agreement with it transfers torch parity to the kernel.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nemar_tpu.ops.warp import grid_sample, identity_grid, _grid_sample_xla
+from nemar_tpu.ops import warp_pallas
+
+
+def _mk(rng, n=2, h=32, w=128, c=3, disp=0.05):
+    img = jnp.asarray(rng.standard_normal((n, h, w, c), dtype=np.float32))
+    flow = jnp.asarray(
+        (rng.standard_normal((n, h, w, 2)) * disp).astype(np.float32)
+    )
+    grid = identity_grid(h, w)[None] + flow
+    return img, grid
+
+
+class TestForward:
+    @pytest.mark.parametrize("padding_mode", ["zeros", "border", "reflection"])
+    def test_matches_xla(self, rng, padding_mode):
+        img, grid = _mk(rng)
+        ref = _grid_sample_xla(img, grid, "bilinear", padding_mode, False)
+        got = warp_pallas.grid_sample_pallas(img, grid, padding_mode=padding_mode)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_align_corners(self, rng):
+        img, grid = _mk(rng, c=1)
+        ref = _grid_sample_xla(img, grid, "bilinear", "zeros", True)
+        got = warp_pallas.grid_sample_pallas(img, grid, align_corners=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_identity_flow(self, rng):
+        img, _ = _mk(rng)
+        grid = identity_grid(32, 128)[None] + jnp.zeros((2, 32, 128, 2))
+        got = warp_pallas.grid_sample_pallas(img, grid)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(img), atol=1e-5)
+
+    def test_big_displacement_falls_back_exact(self, rng):
+        """Rotation-scale warp exceeds the slab -> cond picks the mm branch."""
+        img, _ = _mk(rng, h=64, w=128, c=1)
+        theta = jnp.asarray([[[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0]]] * 2)
+        from nemar_tpu.ops.warp import affine_grid
+
+        grid = affine_grid(theta, (2, 1, 64, 128))
+        ref = _grid_sample_xla(img, grid, "bilinear", "zeros", False)
+        got = warp_pallas.grid_sample_pallas(img, grid, max_disp_px=4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_unsupported_shape_routes_to_mm(self, rng):
+        img = jnp.asarray(rng.standard_normal((1, 13, 17, 2), dtype=np.float32))
+        grid = identity_grid(13, 17)[None] * 0.9
+        ref = _grid_sample_xla(img, grid, "bilinear", "zeros", False)
+        got = warp_pallas.grid_sample_pallas(img, grid)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+class TestBackward:
+    @pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+    def test_grads_match_xla(self, rng, padding_mode):
+        img, grid = _mk(rng, n=1, h=16, w=128, c=2)
+        ct = jnp.asarray(rng.standard_normal((1, 16, 128, 2), dtype=np.float32))
+
+        def loss_pallas(i, g):
+            out = warp_pallas.grid_sample_pallas(i, g, padding_mode=padding_mode)
+            return jnp.sum(out * ct)
+
+        def loss_xla(i, g):
+            return jnp.sum(
+                _grid_sample_xla(i, g, "bilinear", padding_mode, False) * ct
+            )
+
+        d1 = jax.grad(loss_pallas, argnums=(0, 1))(img, grid)
+        d2 = jax.grad(loss_xla, argnums=(0, 1))(img, grid)
+        np.testing.assert_allclose(np.asarray(d1[0]), np.asarray(d2[0]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(d1[1]), np.asarray(d2[1]), atol=1e-4)
+
+    def test_grads_through_flow_warp(self, rng):
+        """Full deformable-STN-style use: grads through identity+flow grid."""
+        img, _ = _mk(rng, n=1, h=16, w=128, c=1)
+        flow = jnp.asarray(
+            (rng.standard_normal((1, 16, 128, 2)) * 0.03).astype(np.float32)
+        )
+
+        def loss(fl, impl):
+            grid = identity_grid(16, 128)[None] + fl
+            out = grid_sample(img, grid, impl=impl)
+            return jnp.mean(jnp.square(out))
+
+        d1 = jax.grad(lambda f: loss(f, "pallas"))(flow)
+        d2 = jax.grad(lambda f: loss(f, "xla"))(flow)
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
