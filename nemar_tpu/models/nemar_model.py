@@ -104,6 +104,7 @@ class NEMARModel(BaseModel):
         self.netG = networks.define_G(
             opt.input_nc, opt.output_nc, opt.ngf, opt.netG, opt.norm,
             not opt.no_dropout, opt.init_type, opt.init_gain, norm_impl,
+            getattr(opt, "remat", False),
         )
         self.netD = networks.define_D(
             opt.output_nc, opt.ndf, opt.netD, opt.n_layers_D, opt.norm,

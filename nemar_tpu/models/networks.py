@@ -108,6 +108,7 @@ class ResnetGenerator(nn.Module):
     use_dropout: bool = False
     norm_impl: str = "xla"
     kernel_init: Callable = conv_init
+    use_remat: bool = False  # jax.checkpoint each ResnetBlock (512^2 configs)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -122,8 +123,12 @@ class ResnetGenerator(nn.Module):
                 padding=((1, 1), (1, 1)), kernel_init=ki,
             )(h)
             h = _norm_act(h, self.norm, "relu", self.norm_impl)
+        block_cls = (
+            nn.remat(ResnetBlock, static_argnums=(2,))
+            if self.use_remat else ResnetBlock
+        )
         for _ in range(self.n_blocks):
-            h = ResnetBlock(
+            h = block_cls(
                 self.ngf * 2**self.n_downsampling, self.norm, self.use_dropout,
                 self.norm_impl, ki,
             )(h, train)
@@ -265,12 +270,15 @@ def define_G(
     init_type: str = "normal",
     init_gain: float = 0.02,
     norm_impl: str = "xla",
+    use_remat: bool = False,
 ) -> nn.Module:
     ki = _make_init(init_type, init_gain)
     if netG == "resnet_9blocks":
-        return ResnetGenerator(output_nc, ngf, 9, 2, norm, use_dropout, norm_impl, ki)
+        return ResnetGenerator(output_nc, ngf, 9, 2, norm, use_dropout,
+                               norm_impl, ki, use_remat)
     if netG == "resnet_6blocks":
-        return ResnetGenerator(output_nc, ngf, 6, 2, norm, use_dropout, norm_impl, ki)
+        return ResnetGenerator(output_nc, ngf, 6, 2, norm, use_dropout,
+                               norm_impl, ki, use_remat)
     if netG == "unet_128":
         return UnetGenerator(output_nc, 7, ngf, norm, use_dropout, norm_impl, ki)
     if netG == "unet_256":

@@ -88,6 +88,9 @@ class BaseOptions:
         # -- TPU-native extras --
         parser.add_argument("--bf16", action="store_true",
                             help="bfloat16 compute with fp32 params (TPU fast path)")
+        parser.add_argument("--remat", action="store_true",
+                            help="rematerialize generator blocks (trade FLOPs for "
+                                 "HBM; enables 512^2 batch-32 on one chip)")
         parser.add_argument("--warp_impl", type=str, default="auto",
                             help="grid_sample implementation [auto | xla | pallas]")
         parser.add_argument("--norm_impl", type=str, default="xla",

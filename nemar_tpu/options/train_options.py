@@ -13,6 +13,20 @@ class TrainOptions(BaseOptions):
         # -- display / logging --
         parser.add_argument("--display_freq", type=int, default=400,
                             help="frequency of saving visual image grids")
+        # visdom-era flags, accepted for reference-CLI compatibility;
+        # visuals go to PNG grids + the HTML site instead of a live server.
+        parser.add_argument("--display_id", type=int, default=1,
+                            help="accepted for compatibility (no visdom here)")
+        parser.add_argument("--display_server", type=str, default="http://localhost",
+                            help="accepted for compatibility (no visdom here)")
+        parser.add_argument("--display_port", type=int, default=8097,
+                            help="accepted for compatibility (no visdom here)")
+        parser.add_argument("--display_env", type=str, default="main",
+                            help="accepted for compatibility (no visdom here)")
+        parser.add_argument("--display_ncols", type=int, default=4,
+                            help="accepted for compatibility (no visdom here)")
+        parser.add_argument("--update_html_freq", type=int, default=1000,
+                            help="frequency of saving training results to html")
         parser.add_argument("--print_freq", type=int, default=100,
                             help="frequency of printing losses on console")
         parser.add_argument("--save_latest_freq", type=int, default=5000,
