@@ -76,8 +76,9 @@ def instance_norm_act(
 def _in_act_kernel(x_ref, o_ref, stats_ref, *, nk, act, eps, negative_slope, rows_total):
     phase = pl.program_id(1)
     k = pl.program_id(2)
-    xb = x_ref[...]  # (1, rows, C)
-    x2d = xb[0]
+    # stats accumulate in fp32 whatever the activation dtype (bf16 sums over
+    # 64K rows would lose everything past ~256 terms)
+    x2d = x_ref[0].astype(jnp.float32)
 
     @pl.when(jnp.logical_and(phase == 0, k == 0))
     def _init():
@@ -92,7 +93,7 @@ def _in_act_kernel(x_ref, o_ref, stats_ref, *, nk, act, eps, negative_slope, row
 
     @pl.when(jnp.logical_and(phase == 0, k == nk - 1))
     def _finalize():
-        cnt = jnp.asarray(rows_total, x2d.dtype)
+        cnt = jnp.asarray(rows_total, jnp.float32)
         mean = stats_ref[0, :] / cnt
         var = stats_ref[1, :] / cnt - mean * mean
         stats_ref[0, :] = mean
@@ -107,7 +108,7 @@ def _in_act_kernel(x_ref, o_ref, stats_ref, *, nk, act, eps, negative_slope, row
             y = jnp.maximum(y, 0.0)
         elif act == "leaky_relu":
             y = jnp.where(y >= 0.0, y, negative_slope * y)
-        o_ref[...] = y[None]
+        o_ref[...] = y[None].astype(o_ref.dtype)
 
 
 def _instance_norm_act_pallas(
