@@ -94,12 +94,123 @@ def bench_train_step(batch_size: int, steps: int = 10, trials: int = 5):
     return best
 
 
+def _timeit(f, args, steps=10, trials=3, label=""):
+    import jax
+
+    np.asarray(jax.tree.leaves(f(*args))[0].astype("float32")).ravel()[:1]
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        for _ in range(steps):
+            o = f(*args)
+        np.asarray(jax.tree.leaves(o)[0].astype("float32")).ravel()[:1]
+        best = min(best, (time.time() - t0) / steps)
+    log(f"{label}: best {best * 1e3:.2f} ms")
+    return best
+
+
+def bench_config(n: int):
+    """The 5 driver-defined benchmark configs (BASELINE.json 'configs')."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    if n == 1:
+        # Affine-only STN: single 256² grayscale pair, one warp fwd (CPU-OK).
+        from nemar_tpu.ops.warp import affine_grid, grid_sample
+
+        img = jnp.asarray(rng.standard_normal((1, 256, 256, 1), dtype=np.float32))
+        theta = jnp.asarray([[[0.98, 0.02, 0.01], [-0.02, 1.02, -0.01]]])
+        grid = affine_grid(theta, (1, 1, 256, 256))
+        f = jax.jit(lambda i, g: grid_sample(i, g))
+        dt = _timeit(f, (img, grid), label="affine warp fwd 256²")
+        gbs = (256 * 256 * (1 * 4 * 2 + 2 * 4)) / dt / 1e9
+        return {"metric": "affine_warp_fwd_GBps_256", "value": round(gbs, 2),
+                "unit": "GB/s", "vs_baseline": 1.0}
+    if n == 2:
+        # UNet STN fwd+bwd with smoothness at 256².
+        from types import SimpleNamespace
+
+        from nemar_tpu.models.stn import define_stn
+
+        opt = SimpleNamespace(input_nc=1, output_nc=3, stn_ngf=32, stn_depth=5)
+        stn = define_stn(opt, "unet")
+        a = jnp.asarray(rng.standard_normal((1, 256, 256, 1), dtype=np.float32))
+        b = jnp.asarray(rng.standard_normal((1, 256, 256, 3), dtype=np.float32))
+        params = stn.init(jax.random.key(0), a, b, (b,))
+
+        def loss(p):
+            (wb,), reg, _ = stn.apply(p, a, b, (b,))
+            return jnp.mean(jnp.abs(wb - b)) + reg
+
+        g = jax.jit(jax.grad(loss))
+        dt = _timeit(g, (params,), label="unet STN fwd+bwd 256²")
+        return {"metric": "unet_stn_fwd_bwd_ms_256", "value": round(dt * 1e3, 2),
+                "unit": "ms", "vs_baseline": 1.0}
+    if n == 3:
+        pairs = bench_train_step(1, steps=20)
+        return {"metric": "nemar_step_pairs_per_sec_b1_256", "value": round(pairs, 2),
+                "unit": "pairs/s", "vs_baseline": round(pairs / A100_REF_PAIRS_PER_SEC, 3)}
+    if n == 4:
+        # 512² batch 32 full loss stack, one chip (remat on).
+        from nemar_tpu.models import create_model
+        from nemar_tpu.options import TrainOptions
+
+        args = [
+            "--dataroot", "__synthetic__", "--name", "__bench512__",
+            "--model", "nemar", "--dataset_mode", "synthetic",
+            "--checkpoints_dir", "/tmp/__bench_ckpt__",
+            "--crop_size", "512", "--load_size", "512", "--batch_size", "32",
+            "--netG", "resnet_6blocks", "--stn_type", "unet",
+            "--bf16", "--remat", "--pool_size", "0",
+        ]
+        opt = TrainOptions().parse(args)
+        model = create_model(opt)
+        model.setup(opt)
+        batch = {
+            "A": rng.standard_normal((32, 512, 512, 1), dtype=np.float32),
+            "B": rng.standard_normal((32, 512, 512, 3), dtype=np.float32),
+            "A_paths": ["x"] * 32,
+        }
+        model.set_input(batch)
+        model.optimize_parameters()
+        float(model.get_current_losses()["G"])  # compile+run
+        t0 = time.time()
+        for _ in range(5):
+            model.optimize_parameters()
+        float(model.get_current_losses()["G"])
+        pairs = 32 * 5 / (time.time() - t0)
+        return {"metric": "nemar_step_pairs_per_sec_b32_512", "value": round(pairs, 2),
+                "unit": "pairs/s", "vs_baseline": 1.0}
+    if n == 5:
+        # Pod-scale DP (v5e-16): validated via the virtual-mesh dry run —
+        # only one physical chip is reachable from this host.
+        import __graft_entry__
+
+        ndev = len(jax.devices())
+        __graft_entry__.dryrun_multichip(min(8, ndev) if ndev > 1 else 1)
+        return {"metric": "dp_dryrun_devices", "value": ndev,
+                "unit": "devices", "vs_baseline": 1.0}
+    raise SystemExit(f"unknown config {n}")
+
+
 def main():
     # Make sure we are on the TPU (bench contract) — no CPU fallback fibs.
+    import argparse
+
     import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=int, default=0,
+                    help="BASELINE.json config #1-5; 0 = headline metric")
+    cfg = ap.parse_args().config
 
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
+
+    if cfg:
+        print(json.dumps(bench_config(cfg)))
+        return
 
     pairs = None
     for batch in (32, 16, 8):

@@ -81,6 +81,8 @@ class NEMARModel(BaseModel):
         parser.add_argument("--stn_field_source", type=str, default="pair",
                             help="predict phi from [pair | fake] "
                                  "(real_A,real_B) vs (fake_B,real_B); SURVEY §8.4(b)")
+        parser.add_argument("--stn_align_corners", action="store_true",
+                            help="align_corners=True warp semantics (SURVEY §8.4(a))")
         if is_train:
             parser.add_argument("--lambda_GAN", type=float, default=1.0,
                                 help="weight of the adversarial term")

@@ -7,11 +7,15 @@ from nemar_tpu.models.stn.unet_stn import UnetSTN
 def define_stn(opt, stn_type: str):
     """Dispatch affine vs unet STN from option flags (reference define_stn)."""
     nc = opt.input_nc + opt.output_nc
+    ac = getattr(opt, "stn_align_corners", False)
+    wi = getattr(opt, "warp_impl", "auto")
     if stn_type == "affine":
         return AffineSTN(
             in_channels=nc,
             ngf=getattr(opt, "stn_ngf", 32),
             padding_mode=getattr(opt, "stn_padding_mode", "zeros"),
+            align_corners=ac,
+            warp_impl=wi,
         )
     if stn_type == "unet":
         return UnetSTN(
@@ -22,6 +26,8 @@ def define_stn(opt, stn_type: str):
             smooth_type=getattr(opt, "stn_smooth_type", "l1"),
             padding_mode=getattr(opt, "stn_padding_mode", "zeros"),
             bounded_flow=getattr(opt, "stn_bounded_flow", 0.0),
+            align_corners=ac,
+            warp_impl=wi,
         )
     raise NotImplementedError(f"stn type {stn_type!r}")
 
