@@ -42,6 +42,10 @@ def create_dataset(opt):
     dataset_class = find_dataset_using_name(opt.dataset_mode)
     dataset = dataset_class(opt)
     print(f"dataset [{type(dataset).__name__}] was created")
+    if getattr(opt, "loader", "threads") == "grain":
+        from nemar_tpu.data.grain_loader import GrainDatasetLoader
+
+        return GrainDatasetLoader(opt, dataset)
     return CustomDatasetDataLoader(opt, dataset)
 
 

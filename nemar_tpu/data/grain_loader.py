@@ -1,0 +1,72 @@
+"""Grain-backed input pipeline (north-star: 'host-side tf.data/Grain
+pipeline feeding device-resident batches' — BASELINE.json).
+
+Wraps any registered BaseDataset as a grain data source, adding
+multi-WORKER (process) prefetching beyond the default thread loader —
+useful when PIL decode dominates (large JPEGs). Selected with
+``--loader grain``; the thread loader stays the default (lower latency for
+synthetic/small data, no extra processes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class GrainDatasetLoader:
+    """Same interface as CustomDatasetDataLoader, grain underneath."""
+
+    def __init__(self, opt, dataset):
+        import grain.python as grain
+
+        self.opt = opt
+        self.dataset = dataset
+        self.batch_size = opt.batch_size
+        self.max_size = min(len(dataset), opt.max_dataset_size)
+        self._epoch = 0
+
+        class _Source:
+            def __init__(self, ds, n):
+                self._ds = ds
+                self._n = n
+
+            def __len__(self):
+                return self._n
+
+            def __getitem__(self, idx):
+                return self._ds[int(idx)]
+
+        self._grain = grain
+        self._source = _Source(dataset, self.max_size)
+        self._sampler_kwargs = dict(
+            num_records=self.max_size,
+            shuffle=not opt.serial_batches,
+            seed=getattr(opt, "seed", 0),
+        )
+        self._num_workers = max(0, int(getattr(opt, "num_threads", 4)))
+
+    def __len__(self):
+        return self.max_size
+
+    def num_batches(self):
+        return self.max_size // self.batch_size
+
+    def __iter__(self):
+        grain = self._grain
+        sampler = grain.IndexSampler(
+            shard_options=grain.NoSharding(),
+            num_epochs=1,
+            **self._sampler_kwargs,
+        )
+        loader = grain.DataLoader(
+            data_source=self._source,
+            sampler=sampler,
+            operations=[grain.Batch(self.batch_size, drop_remainder=True)],
+            worker_count=self._num_workers,
+        )
+        for batch in loader:
+            # grain batches dict-of-arrays; string fields come as lists
+            yield {
+                k: (np.asarray(v) if isinstance(v, np.ndarray) else v)
+                for k, v in batch.items()
+            }

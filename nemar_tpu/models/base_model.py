@@ -87,7 +87,9 @@ class BaseModel(ABC):
 
     # -- losses / visuals --------------------------------------------------
     def get_current_losses(self) -> "OrderedDict[str, float]":
-        return OrderedDict((k, float(v)) for k, v in self._losses.items())
+        # explicit device_get: stays legal under jax.transfer_guard modes
+        fetched = jax.device_get(self._losses)
+        return OrderedDict((k, float(v)) for k, v in fetched.items())
 
     def get_current_visuals(self) -> "OrderedDict[str, np.ndarray]":
         return OrderedDict(

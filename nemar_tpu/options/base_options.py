@@ -66,6 +66,8 @@ class BaseOptions:
         parser.add_argument("--serial_batches", action="store_true",
                             help="take images in order instead of randomly")
         parser.add_argument("--num_threads", type=int, default=4, help="# threads for loading data")
+        parser.add_argument("--loader", type=str, default="threads",
+                            help="input pipeline backend [threads | grain]")
         parser.add_argument("--batch_size", type=int, default=1, help="input batch size")
         parser.add_argument("--load_size", type=int, default=286, help="scale images to this size")
         parser.add_argument("--crop_size", type=int, default=256, help="then crop to this size")

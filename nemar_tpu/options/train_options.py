@@ -66,4 +66,8 @@ class TrainOptions(BaseOptions):
                             help="train steps fused into one device dispatch (lax.scan)")
         parser.add_argument("--async_checkpoint", action="store_true",
                             help="write checkpoints asynchronously (orbax)")
+        parser.add_argument("--transfer_guard", type=str, default="allow",
+                            help="jax transfer guard around the hot loop "
+                                 "[allow | log | disallow] — catches implicit "
+                                 "host<->device syncs (SURVEY §6 sanitizers)")
         return parser

@@ -99,3 +99,15 @@ class TestMultimodalDataset:
         assert item["A"].shape[-1] == 1  # multimodal defaults input_nc=1
         assert item["B"].shape[-1] == 3
         assert item["B"].mean() > item["A"].mean()
+
+
+class TestGrainLoader:
+    def test_grain_batches_match_contract(self, tmp_path):
+        opt = _opt(tmp_path, ["--loader", "grain", "--num_threads", "0"])
+        loader = create_dataset(opt)
+        batches = list(loader)
+        assert len(batches) == 3
+        b = batches[0]
+        assert b["A"].shape == (2, 32, 32, 1)
+        assert b["B"].shape == (2, 32, 32, 3)
+        assert b["A"].dtype == np.float32

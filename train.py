@@ -37,7 +37,27 @@ def main():
 
         jax.profiler.start_trace(opt.profile_dir)
 
+    import contextlib
+
+    import jax
+
+    guard = getattr(opt, "transfer_guard", "allow")
+    guard_ctx = (
+        jax.transfer_guard(guard) if guard != "allow" else contextlib.nullcontext()
+    )
+
     spe = max(1, getattr(opt, "steps_per_execution", 1))
+    with guard_ctx:
+        _train_epochs(opt, dataset, dataset_size, model, visualizer,
+                      total_iters, spe)
+
+    if profiling:
+        import jax
+
+        jax.profiler.stop_trace()
+
+
+def _train_epochs(opt, dataset, dataset_size, model, visualizer, total_iters, spe):
     for epoch in range(opt.epoch_count, opt.n_epochs + opt.n_epochs_decay + 1):
         epoch_start_time = time.time()
         iter_data_time = time.time()
@@ -94,11 +114,6 @@ def main():
             f" \t Time Taken: {time.time() - epoch_start_time:.0f} sec"
         )
         model.update_learning_rate(epoch)
-
-    if profiling:
-        import jax
-
-        jax.profiler.stop_trace()
 
 
 if __name__ == "__main__":
