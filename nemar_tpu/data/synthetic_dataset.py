@@ -77,9 +77,15 @@ class SyntheticDataset(BaseDataset):
         a_scene = np.asarray(a_img, dtype=np.float32) / 255.0
         a = self._colorize(a_scene, self.input_nc, invert=False)
 
+        # center-origin inverse map M (output px -> source px) that rendered
+        # A — the ground truth for registration evaluation (utils.metrics).
+        theta_m = np.asarray(
+            [[ca, -sa, tx], [sa, ca, ty]], dtype=np.float32
+        )
         return {
             "A": a * 2.0 - 1.0,
             "B": b * 2.0 - 1.0,
+            "theta_gt": theta_m,
             "A_paths": f"synthetic_{index:05d}_A.png",
             "B_paths": f"synthetic_{index:05d}_B.png",
         }

@@ -191,6 +191,8 @@ class NEMARModel(BaseModel):
 
     def _forward_all(self, state: NemarState, a, b):
         out, aux = self._forward_parts(state.params_G, state.params_R, a, b)
+        if "flow" in aux:  # deformable STN: expose for registration eval
+            out["flow"] = aux["flow"].astype(jnp.float32)
         return out
 
     def _d_loss(self, pd, fake, b, rng=None):
@@ -285,6 +287,7 @@ class NEMARModel(BaseModel):
 
     def forward(self):
         out = self._forward_jit(self.state, self.real_A, self.real_B)
+        self.last_flow = out.get("flow")  # None for the affine STN
         self._visuals = {
             "real_A": self.real_A, "real_B": self.real_B,
             "fake_B": out["fake_B"], "reg_fakeB": out["reg_fakeB"],

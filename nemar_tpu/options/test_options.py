@@ -20,6 +20,10 @@ class TestOptions(BaseOptions):
         parser.add_argument("--num_test", type=int, default=50,
                             help="how many test images to run")
         parser.add_argument("--ntest", type=int, default=float("inf"), help="# of test examples")
+        parser.add_argument("--eval_registration", action="store_true",
+                            help="compute registration metrics (NCC/PSNR/L1 of the "
+                                 "registered translation vs B; flow EPE in px when "
+                                 "the dataset provides ground truth) -> eval.json")
         # Reference forces these at test time (SURVEY §4.3).
         parser.set_defaults(load_size=parser.get_default("crop_size"))
         return parser

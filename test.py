@@ -34,6 +34,8 @@ def main():
         f"Experiment = {opt.name}, Phase = {opt.phase}, Epoch = {opt.epoch}",
     )
 
+    evaluating = getattr(opt, "eval_registration", False)
+    metrics_acc = {"ncc": [], "psnr": [], "l1": [], "epe_px": []}
     for i, data in enumerate(dataset):
         if i >= opt.num_test:
             break
@@ -47,7 +49,36 @@ def main():
             webpage, visuals, img_path,
             aspect_ratio=opt.aspect_ratio, width=opt.display_winsize,
         )
+        if evaluating and "reg_fakeB" in visuals:
+            import numpy as np
+
+            from nemar_tpu.utils import metrics as M
+
+            reg, real = visuals["reg_fakeB"], visuals["real_B"]
+            metrics_acc["ncc"].append(M.ncc(reg, real))
+            metrics_acc["psnr"].append(M.psnr(reg, real))
+            metrics_acc["l1"].append(M.l1(reg, real))
+            flow = getattr(model, "last_flow", None)
+            if flow is not None and "theta_gt" in data:
+                h, w = reg.shape[1:3]
+                for j in range(reg.shape[0]):
+                    gt = M.registration_gt_flow(np.asarray(data["theta_gt"][j]), h, w)
+                    metrics_acc["epe_px"].append(
+                        M.epe_px(np.asarray(flow[j]), gt, h, w)
+                    )
     webpage.save()
+
+    if evaluating:
+        import json
+
+        import numpy as np
+
+        summary = {
+            k: round(float(np.mean(v)), 4) for k, v in metrics_acc.items() if v
+        }
+        print(f"registration eval: {summary}")
+        with open(os.path.join(web_dir, "eval.json"), "w") as f:
+            json.dump(summary, f, indent=1)
 
 
 if __name__ == "__main__":
