@@ -73,7 +73,13 @@ class BaseModel(ABC):
         if self.isTrain:
             self.lr_fn = get_lr_multiplier_fn(opt)
             self.current_lr = opt.lr
-        if not self.isTrain or getattr(opt, "continue_train", False):
+        resume = getattr(opt, "continue_train", False)
+        if self.isTrain and getattr(opt, "auto_resume", False):
+            if os.path.exists(os.path.join(self.save_dir, "checkpoint_meta.json")):
+                print("auto-resume: found a checkpoint, continuing training")
+                opt.continue_train = True
+                resume = True
+        if not self.isTrain or resume:
             load_suffix = f"iter_{opt.load_iter}" if opt.load_iter > 0 else opt.epoch
             self.load_networks(load_suffix)
         self.print_networks(getattr(opt, "verbose", False))
@@ -145,7 +151,10 @@ class BaseModel(ABC):
                 self._net_params(n),
                 force=True,
             )
-        self._ckpt.wait_until_finished()
+        # --async_checkpoint: let orbax finish in the background (training
+        # continues; the next save or interpreter exit joins the writer).
+        if not getattr(self.opt, "async_checkpoint", False):
+            self._ckpt.wait_until_finished()
         with open(os.path.join(self.save_dir, "checkpoint_meta.json"), "w") as f:
             json.dump({"latest": suffix, "step": int(self.state.step)}, f)
 

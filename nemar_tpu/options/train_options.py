@@ -40,6 +40,9 @@ class TrainOptions(BaseOptions):
         # -- resume --
         parser.add_argument("--continue_train", action="store_true",
                             help="continue training: load the latest model")
+        parser.add_argument("--auto_resume", action="store_true",
+                            help="resume from the latest checkpoint automatically "
+                                 "when one exists (preemption-safe restarts)")
         parser.add_argument("--epoch_count", type=int, default=1,
                             help="the starting epoch count")
         parser.add_argument("--phase", type=str, default="train", help="train, val, test")

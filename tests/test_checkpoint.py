@@ -76,3 +76,23 @@ def test_test_time_params_only_restore(tmp_path, rng):
     tmodel.test()
     vis = tmodel.get_current_visuals()
     assert np.isfinite(vis["fake_B"]).all()
+
+
+def test_auto_resume(tmp_path, rng):
+    opt = make_opt(tmp_path)
+    model = create_model(opt)
+    model.setup(opt)
+    model.set_input(make_batch(opt, rng))
+    model.optimize_parameters()
+    model.save_networks("latest")
+
+    opt2 = make_opt(tmp_path, ["--auto_resume"])
+    model2 = create_model(opt2)
+    model2.setup(opt2)
+    assert int(model2.state.step) == 1  # resumed without --continue_train
+
+    # no checkpoint -> fresh start, no crash
+    opt3 = make_opt(tmp_path, ["--auto_resume", "--name", "fresh"])
+    model3 = create_model(opt3)
+    model3.setup(opt3)
+    assert int(model3.state.step) == 0
