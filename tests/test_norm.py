@@ -45,3 +45,17 @@ class TestInstanceNorm:
         ref = instance_norm_act(x, act=act, impl="xla")
         got = instance_norm_act(x, act=act, impl="pallas")
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    @pytest.mark.parametrize("act", ["none", "relu", "leaky_relu"])
+    def test_pallas_backward_matches_xla(self, rng, act):
+        import jax
+
+        x = jnp.asarray(rng.standard_normal((2, 8, 12, 4), dtype=np.float32) * 2)
+        ct = jnp.asarray(rng.standard_normal((2, 8, 12, 4), dtype=np.float32))
+
+        def loss(v, impl):
+            return jnp.sum(instance_norm_act(v, act=act, impl=impl) * ct)
+
+        d_p = jax.grad(lambda v: loss(v, "pallas"))(x)
+        d_x = jax.grad(lambda v: loss(v, "xla"))(x)
+        np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-4)
