@@ -160,20 +160,17 @@ def _instance_norm_act_pallas(
     n, h, w, c = x.shape
     rows = h * w
     x3 = x.reshape(n, rows, c)
-    # Chunk rows so a block is ~<= 2 MB of VMEM.
+    # Chunk rows so a block is ~<= 2 MB of VMEM; chunks must be sublane
+    # multiples (Mosaic block constraint).
     target_rows = max(8, min(rows, (2 * 1024 * 1024) // max(1, c * x.dtype.itemsize)))
-    # round to a divisor-friendly multiple of 8
     target_rows = max(8, (target_rows // 8) * 8)
     nk = pl.cdiv(rows, target_rows)
     pad_rows = nk * target_rows - rows
     if pad_rows:
-        # Padding would corrupt the stats; fall back to a chunk size that
-        # divides rows (H*W for conv feature maps is highly composite).
-        for cand in range(target_rows, 0, -1):
-            if rows % cand == 0:
-                target_rows = cand
-                break
-        nk = rows // target_rows
+        # Zero rows contribute nothing to the sums and the count stays the
+        # TRUE row count, so stats are exact; padded output rows are sliced
+        # off below.
+        x3 = jnp.pad(x3, ((0, 0), (0, pad_rows), (0, 0)))
 
     kernel = functools.partial(
         _in_act_kernel,
@@ -198,7 +195,7 @@ def _instance_norm_act_pallas(
         out_specs=pl.BlockSpec(
             (1, target_rows, c), lambda i, p, k: (i, k, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, rows, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, nk * target_rows, c), x.dtype),
         scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
     )(x3)
-    return out.reshape(n, h, w, c)
+    return out[:, :rows].reshape(n, h, w, c)
