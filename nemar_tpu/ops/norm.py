@@ -160,9 +160,10 @@ def _instance_norm_act_pallas(
     n, h, w, c = x.shape
     rows = h * w
     x3 = x.reshape(n, rows, c)
-    # Chunk rows so a block is ~<= 2 MB of VMEM; chunks must be sublane
-    # multiples (Mosaic block constraint).
-    target_rows = max(8, min(rows, (2 * 1024 * 1024) // max(1, c * x.dtype.itemsize)))
+    # Chunk rows so a block is ~<= 1 MB of VMEM (in + out + fp32 upcast +
+    # double buffering must stay under the 16 MB scoped limit); chunks must
+    # be sublane multiples (Mosaic block constraint).
+    target_rows = max(8, min(rows, (1024 * 1024) // max(1, c * x.dtype.itemsize)))
     target_rows = max(8, (target_rows // 8) * 8)
     nk = pl.cdiv(rows, target_rows)
     pad_rows = nk * target_rows - rows
