@@ -48,10 +48,21 @@ class SyntheticDataset(BaseDataset):
         return self.size
 
     def _scene(self, rng: np.random.Generator) -> np.ndarray:
-        """Smooth random field in [0, 1] at full resolution."""
-        coarse = rng.standard_normal((self.res // 16, self.res // 16)).astype(np.float32)
-        img = Image.fromarray(coarse, mode="F").resize((self.res, self.res), Image.BICUBIC)
-        field = np.asarray(img, dtype=np.float32)
+        """Multi-octave random field in [0, 1] at full resolution.
+
+        The high-frequency octaves matter: with smooth-only content a few
+        pixels of misalignment are photometrically invisible, the STN gets
+        no gradient and the registration task degenerates (the generator
+        absorbs the geometry instead).
+        """
+        field = np.zeros((self.res, self.res), np.float32)
+        for scale, weight in ((16, 0.5), (6, 0.3), (3, 0.2)):
+            size = max(2, self.res // scale)
+            octave = rng.standard_normal((size, size)).astype(np.float32)
+            img = Image.fromarray(octave, mode="F").resize(
+                (self.res, self.res), Image.BICUBIC
+            )
+            field += weight * np.asarray(img, dtype=np.float32)
         lo, hi = field.min(), field.max()
         return (field - lo) / max(hi - lo, 1e-6)
 
