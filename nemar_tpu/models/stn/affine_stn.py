@@ -75,4 +75,10 @@ class AffineSTN(nn.Module):
         )
         # Identity regularization on the residual (SURVEY §3.1 [M]).
         reg = jnp.mean(jnp.sum(jnp.square(dtheta.reshape(n, -1)), axis=1))
-        return warped, reg, {"theta": theta, "grid": grid, "dtheta": dtheta}
+        # implied displacement field (for registration evaluation)
+        from nemar_tpu.ops.warp import identity_grid
+
+        flow = grid - identity_grid(h, w, self.align_corners, grid.dtype)[None]
+        return warped, reg, {
+            "theta": theta, "grid": grid, "dtheta": dtheta, "flow": flow,
+        }
