@@ -31,6 +31,9 @@ class SyntheticDataset(BaseDataset):
                             help="number of synthetic pairs per epoch")
         parser.add_argument("--synthetic_misalign", type=float, default=0.05,
                             help="max affine misalignment (fraction of image size)")
+        parser.add_argument("--synthetic_same_appearance", action="store_true",
+                            help="A and B share the appearance mapping (pure "
+                                 "registration task; isolates the STN)")
         parser.set_defaults(dataroot="__synthetic__", preprocess="none",
                             load_size=256)
         return parser
@@ -40,6 +43,7 @@ class SyntheticDataset(BaseDataset):
         self.size = getattr(opt, "synthetic_size", 64)
         self.res = opt.crop_size
         self.misalign = getattr(opt, "synthetic_misalign", 0.05)
+        self.same_appearance = getattr(opt, "synthetic_same_appearance", False)
         self.input_nc = opt.input_nc
         self.output_nc = opt.output_nc
         self.seed = getattr(opt, "seed", 0)
@@ -86,7 +90,7 @@ class SyntheticDataset(BaseDataset):
             resample=Image.BILINEAR, fillcolor=0,
         )
         a_scene = np.asarray(a_img, dtype=np.float32) / 255.0
-        a = self._colorize(a_scene, self.input_nc, invert=False)
+        a = self._colorize(a_scene, self.input_nc, invert=self.same_appearance)
 
         # center-origin inverse map M (output px -> source px) that rendered
         # A — the ground truth for registration evaluation (utils.metrics).
