@@ -83,6 +83,9 @@ class NEMARModel(BaseModel):
                                  "(real_A,real_B) vs (fake_B,real_B); SURVEY §8.4(b)")
         parser.add_argument("--stn_align_corners", action="store_true",
                             help="align_corners=True warp semantics (SURVEY §8.4(a))")
+        parser.add_argument("--no_stn_multiscale", action="store_true",
+                            help="disable the coarse-to-fine flow heads "
+                                 "(single full-res head, reference-style)")
         if is_train:
             parser.add_argument("--lambda_GAN", type=float, default=1.0,
                                 help="weight of the adversarial term")

@@ -49,10 +49,19 @@ class UnetSTN(nn.Module):
     align_corners: bool = False
     warp_impl: str = "auto"
     bounded_flow: float = 0.0  # >0: tanh-bound the field (normalized units)
+    multiscale: bool = True  # coarse-to-fine flow heads at each decoder level
 
     @nn.compact
     def predict_flow(self, a: jax.Array, b: jax.Array) -> jax.Array:
-        """(N, H, W, 2) displacement field in normalized grid units."""
+        """(N, H, W, 2) displacement field in normalized grid units.
+
+        With `multiscale` (default), every decoder level carries its own
+        ZERO-INIT flow head; coarse heads see a smooth optimization basin
+        for larger displacements, fine heads refine — direct full-resolution
+        flow regression stalls in local minima (round-1 finding). All heads
+        zero-init, so the warp still starts exactly at the identity.
+        """
+        n, hh, ww = a.shape[0], a.shape[1], a.shape[2]
         h = jnp.concatenate([a, b], axis=-1)
         chans = [min(self.ngf * 2**i, self.ngf * 8) for i in range(self.depth)]
         skips = []
@@ -64,7 +73,16 @@ class UnetSTN(nn.Module):
             )(h)
             h = instance_norm_act(h, act="leaky_relu")
             skips.append(h)
-        # Decoder: convT k4? use resize+conv (TPU-friendly, no checkerboard)
+
+        def flow_head(feat):
+            return nn.Conv(
+                2, (3, 3), padding=((1, 1), (1, 1)),
+                kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros,
+            )(feat)
+
+        flows = []
+        # Decoder: resize+conv (TPU-friendly, no checkerboard)
         for i in reversed(range(self.depth)):
             tgt_h = h.shape[1] * 2
             tgt_w = h.shape[2] * 2
@@ -78,11 +96,16 @@ class UnetSTN(nn.Module):
             h = instance_norm_act(h, act="leaky_relu")
             if i > 0:
                 h = jnp.concatenate([skips[i - 1], h], axis=-1)
-        # Zero-init flow head: identity warp at init.
-        flow = nn.Conv(
-            2, (3, 3), padding=((1, 1), (1, 1)),
-            kernel_init=nn.initializers.zeros, bias_init=nn.initializers.zeros,
-        )(h)
+                if self.multiscale:
+                    flows.append(flow_head(h))
+        flows.append(flow_head(h))  # full-resolution head
+        # Sum heads, coarse ones bilinearly upsampled to full resolution
+        # (normalized units are resolution-invariant — no rescaling needed).
+        flow = flows[-1]
+        for f in flows[:-1]:
+            flow = flow + jax.image.resize(
+                f, (n, hh, ww, 2), method="bilinear"
+            )
         flow = flow * self.flow_scale
         if self.bounded_flow > 0:
             flow = jnp.tanh(flow) * self.bounded_flow
