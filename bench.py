@@ -152,36 +152,45 @@ def bench_config(n: int):
         return {"metric": "nemar_step_pairs_per_sec_b1_256", "value": round(pairs, 2),
                 "unit": "pairs/s", "vs_baseline": round(pairs / A100_REF_PAIRS_PER_SEC, 3)}
     if n == 4:
-        # 512² batch 32 full loss stack, one chip (remat on).
+        # 512² full loss stack, one chip (remat on); batch 32 with fallback.
         from nemar_tpu.models import create_model
         from nemar_tpu.options import TrainOptions
 
-        args = [
-            "--dataroot", "__synthetic__", "--name", "__bench512__",
-            "--model", "nemar", "--dataset_mode", "synthetic",
-            "--checkpoints_dir", "/tmp/__bench_ckpt__",
-            "--crop_size", "512", "--load_size", "512", "--batch_size", "32",
-            "--netG", "resnet_6blocks", "--stn_type", "unet",
-            "--bf16", "--remat", "--pool_size", "0",
-        ]
-        opt = TrainOptions().parse(args)
-        model = create_model(opt)
-        model.setup(opt)
-        batch = {
-            "A": rng.standard_normal((32, 512, 512, 1), dtype=np.float32),
-            "B": rng.standard_normal((32, 512, 512, 3), dtype=np.float32),
-            "A_paths": ["x"] * 32,
-        }
-        model.set_input(batch)
-        model.optimize_parameters()
-        float(model.get_current_losses()["G"])  # compile+run
-        t0 = time.time()
-        for _ in range(5):
-            model.optimize_parameters()
-        float(model.get_current_losses()["G"])
-        pairs = 32 * 5 / (time.time() - t0)
-        return {"metric": "nemar_step_pairs_per_sec_b32_512", "value": round(pairs, 2),
-                "unit": "pairs/s", "vs_baseline": 1.0}
+        last_err = None
+        for bsz in (32, 16):
+            try:
+                args = [
+                    "--dataroot", "__synthetic__", "--name", "__bench512__",
+                    "--model", "nemar", "--dataset_mode", "synthetic",
+                    "--checkpoints_dir", "/tmp/__bench_ckpt__",
+                    "--crop_size", "512", "--load_size", "512",
+                    "--batch_size", str(bsz),
+                    "--netG", "resnet_6blocks", "--stn_type", "unet",
+                    "--bf16", "--remat", "--pool_size", "0",
+                ]
+                opt = TrainOptions().parse(args)
+                model = create_model(opt)
+                model.setup(opt)
+                batch = {
+                    "A": rng.standard_normal((bsz, 512, 512, 1), dtype=np.float32),
+                    "B": rng.standard_normal((bsz, 512, 512, 3), dtype=np.float32),
+                    "A_paths": ["x"] * bsz,
+                }
+                model.set_input(batch)
+                model.optimize_parameters()
+                float(model.get_current_losses()["G"])  # compile+run
+                t0 = time.time()
+                for _ in range(5):
+                    model.optimize_parameters()
+                float(model.get_current_losses()["G"])
+                pairs = bsz * 5 / (time.time() - t0)
+                return {"metric": f"nemar_step_pairs_per_sec_b{bsz}_512",
+                        "value": round(pairs, 2),
+                        "unit": "pairs/s", "vs_baseline": 1.0}
+            except Exception as e:
+                log(f"512² batch {bsz} failed: {type(e).__name__}: {e}")
+                last_err = e
+        raise last_err
     if n == 5:
         # Pod-scale DP (v5e-16): validated via the virtual-mesh dry run —
         # only one physical chip is reachable from this host.

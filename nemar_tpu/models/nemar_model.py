@@ -83,9 +83,11 @@ class NEMARModel(BaseModel):
                                  "(real_A,real_B) vs (fake_B,real_B); SURVEY §8.4(b)")
         parser.add_argument("--stn_align_corners", action="store_true",
                             help="align_corners=True warp semantics (SURVEY §8.4(a))")
-        parser.add_argument("--no_stn_multiscale", action="store_true",
-                            help="disable the coarse-to-fine flow heads "
-                                 "(single full-res head, reference-style)")
+        parser.add_argument("--stn_multiscale", action="store_true",
+                            help="coarse-to-fine flow heads at every decoder "
+                                 "level (helps pure-registration convergence; "
+                                 "needs a tame --stn_lr in the adversarial "
+                                 "setting — see ROADMAP.md)")
         if is_train:
             parser.add_argument("--lambda_GAN", type=float, default=1.0,
                                 help="weight of the adversarial term")
@@ -184,7 +186,11 @@ class NEMARModel(BaseModel):
         ca, cb = self._cast(a), self._cast(b)
         fake_B = self.netG.apply(cg, ca)
         src = (ca, cb) if self.field_source == "pair" else (fake_B, cb)
-        (reg_fakeB, warped_A), reg, aux = self.netR.apply(cr, src[0], src[1], (fake_B, ca))
+        stn_apply = (
+            jax.checkpoint(self.netR.apply)
+            if getattr(self.opt, "remat", False) else self.netR.apply
+        )
+        (reg_fakeB, warped_A), reg, aux = stn_apply(cr, src[0], src[1], (fake_B, ca))
         fake_B2 = self.netG.apply(cg, warped_A)
         out = {
             "fake_B": fake_B, "reg_fakeB": reg_fakeB, "warped_A": warped_A,

@@ -28,7 +28,7 @@ def define_stn(opt, stn_type: str):
             bounded_flow=getattr(opt, "stn_bounded_flow", 0.0),
             align_corners=ac,
             warp_impl=wi,
-            multiscale=not getattr(opt, "no_stn_multiscale", False),
+            multiscale=getattr(opt, "stn_multiscale", False),
         )
     raise NotImplementedError(f"stn type {stn_type!r}")
 

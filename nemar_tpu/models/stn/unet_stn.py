@@ -49,16 +49,17 @@ class UnetSTN(nn.Module):
     align_corners: bool = False
     warp_impl: str = "auto"
     bounded_flow: float = 0.0  # >0: tanh-bound the field (normalized units)
-    multiscale: bool = True  # coarse-to-fine flow heads at each decoder level
+    multiscale: bool = False  # coarse-to-fine flow heads at each decoder level
 
     @nn.compact
     def predict_flow(self, a: jax.Array, b: jax.Array) -> jax.Array:
         """(N, H, W, 2) displacement field in normalized grid units.
 
-        With `multiscale` (default), every decoder level carries its own
-        ZERO-INIT flow head; coarse heads see a smooth optimization basin
-        for larger displacements, fine heads refine — direct full-resolution
-        flow regression stalls in local minima (round-1 finding). All heads
+        With `multiscale` (--stn_multiscale), every decoder level carries
+        its own ZERO-INIT flow head; coarse heads see a smooth optimization
+        basin for larger displacements, fine heads refine — direct full-res
+        flow regression stalls in local minima (round-1 finding; in the
+        adversarial setting keep --stn_lr modest, see ROADMAP.md). All heads
         zero-init, so the warp still starts exactly at the identity.
         """
         n, hh, ww = a.shape[0], a.shape[1], a.shape[2]
