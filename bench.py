@@ -34,6 +34,23 @@ def log(msg):
 A100_REF_PAIRS_PER_SEC = 30.0
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stdout_to_stderr():
+    """Framework chatter (options dump, net sizes) must not pollute the
+    one-JSON-line stdout contract."""
+    import io
+
+    old = sys.stdout
+    sys.stdout = sys.stderr
+    try:
+        yield
+    finally:
+        sys.stdout = old
+
+
 def build_model(batch_size: int):
     from nemar_tpu.models import create_model
     from nemar_tpu.options import TrainOptions
@@ -47,9 +64,10 @@ def build_model(batch_size: int):
         "--gan_mode", "lsgan", "--pool_size", "0",
         "--bf16",
     ]
-    opt = TrainOptions().parse(args)
-    model = create_model(opt)
-    model.setup(opt)
+    with _stdout_to_stderr():
+        opt = TrainOptions().parse(args)
+        model = create_model(opt)
+        model.setup(opt)
     return model, opt
 
 
@@ -168,9 +186,10 @@ def bench_config(n: int):
                     "--netG", "resnet_6blocks", "--stn_type", "unet",
                     "--bf16", "--remat", "--pool_size", "0",
                 ]
-                opt = TrainOptions().parse(args)
-                model = create_model(opt)
-                model.setup(opt)
+                with _stdout_to_stderr():
+                    opt = TrainOptions().parse(args)
+                    model = create_model(opt)
+                    model.setup(opt)
                 batch = {
                     "A": rng.standard_normal((bsz, 512, 512, 1), dtype=np.float32),
                     "B": rng.standard_normal((bsz, 512, 512, 3), dtype=np.float32),
@@ -197,7 +216,8 @@ def bench_config(n: int):
         import __graft_entry__
 
         ndev = len(jax.devices())
-        __graft_entry__.dryrun_multichip(min(8, ndev) if ndev > 1 else 1)
+        with _stdout_to_stderr():
+            __graft_entry__.dryrun_multichip(min(8, ndev) if ndev > 1 else 1)
         return {"metric": "dp_dryrun_devices", "value": ndev,
                 "unit": "devices", "vs_baseline": 1.0}
     raise SystemExit(f"unknown config {n}")
