@@ -207,3 +207,8 @@ class BaseModel(ABC):
     # -- device placement --------------------------------------------------
     def _put_batch(self, batch: dict) -> dict:
         return shard_batch(self.mesh, batch, shard_spatial=self.shard_spatial)
+
+    def _lr_scalar(self):
+        """Current lr as an EXPLICITLY placed device scalar (implicit scalar
+        transfers trip --transfer_guard disallow)."""
+        return jax.device_put(np.float32(self.current_lr))

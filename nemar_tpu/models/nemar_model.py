@@ -305,7 +305,7 @@ class NEMARModel(BaseModel):
         return out
 
     def optimize_parameters(self):
-        lr = jnp.float32(self.current_lr)
+        lr = self._lr_scalar()
         self.state, metrics = self._train_step(
             self.state, self.real_A, self.real_B, lr
         )
@@ -320,7 +320,7 @@ class NEMARModel(BaseModel):
         sd = NamedSharding(self.mesh, P(None, "data"))  # (steps, batch, H, W, C)
         a = jax.device_put(a, sd)
         b = jax.device_put(b, sd)
-        lr = jnp.float32(self.current_lr)
+        lr = self._lr_scalar()
         self.state, metrics = self._train_scan(self.state, a, b, lr)
         self._losses = metrics
         self.image_paths = batches[-1].get("A_paths", [])

@@ -139,5 +139,5 @@ class Pix2PixModel(BaseModel):
 
     def optimize_parameters(self):
         self.state, self._losses = self._train_step(
-            self.state, self.real_A, self.real_B, jnp.float32(self.current_lr)
+            self.state, self.real_A, self.real_B, self._lr_scalar()
         )
