@@ -143,7 +143,7 @@ class BaseModel(ABC):
         assert self.state is not None
         suffix = str(suffix)
         self._ckpt.save(self._ckpt_path(suffix), self.state, force=True)
-        for n in self.model_names:
+        for n in getattr(self, "save_names", self.model_names):
             self._ckpt.save(
                 os.path.abspath(
                     os.path.join(self.save_dir, f"{suffix}_net_{n}")
@@ -180,7 +180,7 @@ class BaseModel(ABC):
             return
 
         updates = {}
-        for n in self.model_names:
+        for n in getattr(self, "save_names", self.model_names):
             path = os.path.abspath(os.path.join(self.save_dir, f"{suffix}_net_{n}"))
             if not os.path.exists(path):
                 print(f"no checkpoint found at {path}; starting fresh")

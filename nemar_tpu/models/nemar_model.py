@@ -55,6 +55,9 @@ class NemarState(flax.struct.PyTreeNode):
     opt_D: Any
     rng: jax.Array
     pool: Optional[PoolState]
+    # EMA shadows of G and R (None unless --ema_decay > 0); the reference has
+    # no EMA — standard GAN-quality extra, used at test time via --use_ema.
+    ema: Optional[Any] = None
 
 
 class NEMARModel(BaseModel):
@@ -97,6 +100,12 @@ class NEMARModel(BaseModel):
                                 help="weight of the smoothness/identity regularizer")
             parser.add_argument("--stn_lr", type=float, default=None,
                                 help="separate lr for the STN (default: --lr)")
+            parser.add_argument("--ema_decay", type=float, default=0.0,
+                                help=">0: keep EMA shadows of G and R "
+                                     "(e.g. 0.999); evaluate with --use_ema")
+        else:
+            parser.add_argument("--use_ema", action="store_true",
+                                help="load the EMA shadows of G and R")
         return parser
 
     def __init__(self, opt):
@@ -131,6 +140,13 @@ class NEMARModel(BaseModel):
         base_lr = getattr(opt, "lr", 2e-4)
         stn_lr = getattr(opt, "stn_lr", None)
         self.stn_lr_ratio = 1.0 if stn_lr is None else stn_lr / base_lr
+        self.ema_decay = getattr(opt, "ema_decay", 0.0)
+        self.use_ema = getattr(opt, "use_ema", False)
+        # EMA shadows ride the per-net checkpoint layout as pseudo-nets so a
+        # --use_ema test run can restore them without the full train state.
+        self.save_names = list(self.model_names)
+        if self.ema_decay > 0 or self.use_ema:
+            self.save_names += ["G_ema", "R_ema"]
 
         self._build_state()
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
@@ -157,16 +173,38 @@ class NEMARModel(BaseModel):
             if (self.isTrain and self.pool_size > 0)
             else None
         )
+        keep_ema = (self.isTrain and self.ema_decay > 0) or (
+            not self.isTrain and self.use_ema
+        )
         state = NemarState(
             step=jnp.zeros((), jnp.int32),
             params_G=params_G, params_D=params_D, params_R=params_R,
             opt_G=opt_G, opt_D=opt_D,
             rng=jax.random.key(getattr(opt, "seed", 0) + 17),
             pool=pool,
+            # fresh buffers: aliasing params here would double-donate in the
+            # donated train step
+            ema=jax.tree.map(jnp.copy, {"G": params_G, "R": params_R})
+            if keep_ema else None,
         )
         from nemar_tpu.parallel import replicate
 
         self.state = replicate(state, self.mesh)
+
+    def _net_params(self, name):
+        if name == "G_ema":
+            return self.state.ema["G"]
+        if name == "R_ema":
+            return self.state.ema["R"]
+        return super()._net_params(name)
+
+    def _set_net_params(self, updates):
+        ema_g = updates.pop("G_ema", None)
+        ema_r = updates.pop("R_ema", None)
+        state = super()._set_net_params(updates)
+        if ema_g is not None:
+            state = state.replace(ema={"G": ema_g, "R": ema_r})
+        return state
 
     # ------------------------------------------------------------------
     # pure compute
@@ -199,7 +237,10 @@ class NEMARModel(BaseModel):
         return jax.tree.map(lambda x: x.astype(jnp.float32), out), aux
 
     def _forward_all(self, state: NemarState, a, b):
-        out, aux = self._forward_parts(state.params_G, state.params_R, a, b)
+        pg, pr = state.params_G, state.params_R
+        if self.use_ema and state.ema is not None:
+            pg, pr = state.ema["G"], state.ema["R"]
+        out, aux = self._forward_parts(pg, pr, a, b)
         if "flow" in aux:  # deformable STN: expose for registration eval
             out["flow"] = aux["flow"].astype(jnp.float32)
         return out
@@ -265,10 +306,17 @@ class NEMARModel(BaseModel):
             pgr["R"], upd_G["R"], lr * self.stn_lr_ratio
         )
 
+        ema = state.ema
+        if ema is not None:
+            d = self.ema_decay
+            ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                ema, {"G": params_G, "R": params_R},
+            )
         new_state = state.replace(
             step=state.step + 1,
             params_G=params_G, params_D=params_D, params_R=params_R,
-            opt_G=opt_G, opt_D=opt_D, rng=rng, pool=new_pool,
+            opt_G=opt_G, opt_D=opt_D, rng=rng, pool=new_pool, ema=ema,
         )
         metrics = {
             "D": loss_D, "D_real": l_dr, "D_fake": l_df,

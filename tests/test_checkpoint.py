@@ -96,3 +96,28 @@ def test_auto_resume(tmp_path, rng):
     model3 = create_model(opt3)
     model3.setup(opt3)
     assert int(model3.state.step) == 0
+
+
+def test_ema_restore_at_test_time(tmp_path, rng):
+    opt = make_opt(tmp_path, ["--ema_decay", "0.9", "--name", "emar"])
+    model = create_model(opt)
+    model.setup(opt)
+    model.set_input(make_batch(opt, rng))
+    model.optimize_parameters()
+    model.save_networks("latest")
+
+    args = [
+        "--dataroot", "__synthetic__", "--name", "emar", "--model", "nemar",
+        "--checkpoints_dir", str(tmp_path / "ckpt"),
+        "--dataset_mode", "synthetic", "--crop_size", "32", "--load_size", "32",
+        "--ngf", "8", "--ndf", "8", "--netG", "resnet_6blocks",
+        "--stn_ngf", "8", "--stn_depth", "3", "--synthetic_size", "8",
+        "--use_ema",
+    ]
+    topt = TestOptions().parse(args)
+    tmodel = create_model(topt)
+    tmodel.setup(topt)
+    _tree_allclose(tmodel.state.ema["G"], model.state.ema["G"])
+    tmodel.set_input(make_batch(topt, rng))
+    tmodel.test()  # forward through EMA params
+    assert np.isfinite(tmodel.get_current_visuals()["fake_B"]).all()

@@ -137,3 +137,18 @@ def test_wgangp_mode(tmp_path, rng):
     model.optimize_parameters()
     losses = model.get_current_losses()
     assert all(np.isfinite(v) for v in losses.values()), losses
+
+
+def test_ema_shadows(tmp_path, rng):
+    opt = make_opt(tmp_path, ["--ema_decay", "0.5", "--name", "ema"])
+    model = create_model(opt)
+    model.setup(opt)
+    model.set_input(make_batch(opt, rng))
+    g0 = jax.tree.leaves(model.state.params_G)[0].copy()
+    model.optimize_parameters()
+    st = model.state
+    e = jax.tree.leaves(st.ema["G"])[0]
+    p = jax.tree.leaves(st.params_G)[0]
+    # ema = 0.5*init + 0.5*new  => strictly between init and new params
+    np.testing.assert_allclose(np.asarray(e), 0.5 * np.asarray(g0) + 0.5 * np.asarray(p),
+                               atol=1e-6)
