@@ -6,13 +6,15 @@ the flagship config: ResNet-6 generator (ngf 64), UNet deformable STN,
 70×70 PatchGAN, LSGAN+L1+smoothness — the complete alternating D / G+R
 adam step as ONE jitted program, bf16 compute / fp32 params.
 
-vs_baseline: ratio to an ESTIMATED PyTorch A100 reference of 30 pairs/s.
-No published baseline exists (BASELINE.md: reference repo publishes no
-throughput numbers; its dataset is private). Estimate basis: the full step
-is ~250 GFLOPs/pair (G fwd ×2 + bwd, UNet STN, PatchGAN ×2); research-grade
-fp32 torch training typically sustains ~20-25% of A100's 19.5 fp32 TFLOPs
-→ ~4-5 TFLOPs → ~16-20 pairs/s; with channels-last + TF32 autocast a
-well-tuned run reaches ~2x that. 30 pairs/s is the generous midpoint.
+vs_baseline: ratio to a PyTorch A100 reference of 30 pairs/s. No published
+baseline exists (BASELINE.md: reference repo publishes no throughput
+numbers; its dataset is private). The denominator is MEASUREMENT-backed
+since round 2 (scripts/torch_baseline.py + XLA cost_analysis): the exact
+step is 563.6 GFLOP/pair; the measured torch-CPU step extrapolates to
+22.8 pairs/s on A100 by sustained-GEMM ratio, and a FLOP-based bound gives
+8.9-17.7 pairs/s for eager fp32 torch. 30 pairs/s is kept as the operative
+denominator because it is MORE generous to the baseline than any measured
+derivation — see BASELINE.md "Measured baseline chain".
 
 stdout = exactly ONE JSON line (driver contract); progress goes to stderr.
 """

@@ -66,6 +66,7 @@ class CustomDatasetDataLoader:
         self.max_size = min(len(dataset), opt.max_dataset_size)
         self.num_prefetch = max(2, int(getattr(opt, "num_threads", 4)))
         self._rng = np.random.default_rng(getattr(opt, "seed", 0))
+        self._epoch = 0
 
     def __len__(self):
         return self.max_size
@@ -74,6 +75,9 @@ class CustomDatasetDataLoader:
         return self.max_size // self.batch_size
 
     def __iter__(self):
+        # fresh per-epoch augmentation draws (worker-order independent)
+        self._epoch += 1
+        self.dataset.set_epoch(self._epoch)
         order = np.arange(self.max_size)
         if self.shuffle:
             self._rng.shuffle(order)

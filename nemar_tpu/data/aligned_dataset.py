@@ -8,7 +8,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 from PIL import Image
 
 from nemar_tpu.data.base_dataset import BaseDataset, get_params, get_transform
@@ -23,7 +22,6 @@ class AlignedDataset(BaseDataset):
         assert opt.load_size >= opt.crop_size, "crop_size should be smaller than load_size"
         self.input_nc = opt.output_nc if opt.direction == "BtoA" else opt.input_nc
         self.output_nc = opt.input_nc if opt.direction == "BtoA" else opt.output_nc
-        self._rng = np.random.default_rng(getattr(opt, "seed", 0) + 1)
 
     def __len__(self):
         return len(self.AB_paths)
@@ -35,7 +33,7 @@ class AlignedDataset(BaseDataset):
         w2 = w // 2
         A = AB.crop((0, 0, w2, h))
         B = AB.crop((w2, 0, w, h))
-        params = get_params(self.opt, A.size, self._rng)
+        params = get_params(self.opt, A.size, self.item_rng(index))
         A_t = get_transform(self.opt, params, grayscale=(self.input_nc == 1))
         B_t = get_transform(self.opt, params, grayscale=(self.output_nc == 1))
         a, b = A_t(A), B_t(B)

@@ -21,10 +21,25 @@ class BaseDataset(ABC):
     def __init__(self, opt):
         self.opt = opt
         self.root = opt.dataroot
+        self._epoch = 0
 
     @staticmethod
     def modify_commandline_options(parser, is_train):
         return parser
+
+    def set_epoch(self, epoch: int):
+        """Advance the augmentation stream (loaders call this per epoch)."""
+        self._epoch = int(epoch)
+
+    def item_rng(self, index: int) -> np.random.Generator:
+        """Deterministic per-(seed, epoch, index) generator for __getitem__
+        param draws. A shared mutable stream would re-draw identical crops in
+        every forked grain worker and make thread-loader runs depend on
+        arrival order; keying on the item index makes draws identical for
+        any worker count."""
+        return np.random.default_rng(
+            (getattr(self.opt, "seed", 0), self._epoch, index)
+        )
 
     @abstractmethod
     def __len__(self):

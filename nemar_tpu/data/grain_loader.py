@@ -53,10 +53,16 @@ class GrainDatasetLoader:
 
     def __iter__(self):
         grain = self._grain
+        # bump BEFORE the DataLoader pickles the source to its workers so
+        # every process sees this epoch's stream
+        self._epoch += 1
+        self.dataset.set_epoch(self._epoch)
+        kwargs = dict(self._sampler_kwargs)
+        kwargs["seed"] = kwargs["seed"] + self._epoch  # reshuffle each epoch
         sampler = grain.IndexSampler(
             shard_options=grain.NoSharding(),
             num_epochs=1,
-            **self._sampler_kwargs,
+            **kwargs,
         )
         loader = grain.DataLoader(
             data_source=self._source,

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import os
 
-import numpy as np
 from PIL import Image
 
 from nemar_tpu.data.base_dataset import BaseDataset, get_params, get_transform
@@ -40,7 +39,6 @@ class MultimodalDataset(BaseDataset):
         btoA = opt.direction == "BtoA"
         self.input_nc = opt.output_nc if btoA else opt.input_nc
         self.output_nc = opt.input_nc if btoA else opt.output_nc
-        self._rng = np.random.default_rng(getattr(opt, "seed", 0) + 4)
 
     def __len__(self):
         return len(self.A_paths)
@@ -51,7 +49,7 @@ class MultimodalDataset(BaseDataset):
         A_img = Image.open(A_path)
         B_img = Image.open(B_path)
         # SHARED geometric params: the pair's relative misalignment is data.
-        params = get_params(self.opt, A_img.size, self._rng)
+        params = get_params(self.opt, A_img.size, self.item_rng(index))
         a = get_transform(self.opt, params, grayscale=(self.input_nc == 1))(A_img)
         b = get_transform(self.opt, params, grayscale=(self.output_nc == 1))(B_img)
         if self.opt.direction == "BtoA":

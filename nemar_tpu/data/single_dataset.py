@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import numpy as np
 from PIL import Image
 
 from nemar_tpu.data.base_dataset import BaseDataset, get_params, get_transform
@@ -14,7 +13,6 @@ class SingleDataset(BaseDataset):
         super().__init__(opt)
         self.A_paths = make_dataset(opt.dataroot, opt.max_dataset_size)
         self.input_nc = opt.output_nc if opt.direction == "BtoA" else opt.input_nc
-        self._rng = np.random.default_rng(getattr(opt, "seed", 0) + 3)
 
     def __len__(self):
         return len(self.A_paths)
@@ -22,6 +20,6 @@ class SingleDataset(BaseDataset):
     def __getitem__(self, index):
         A_path = self.A_paths[index]
         A_img = Image.open(A_path).convert("RGB")
-        params = get_params(self.opt, A_img.size, self._rng)
+        params = get_params(self.opt, A_img.size, self.item_rng(index))
         a = get_transform(self.opt, params, grayscale=(self.input_nc == 1))(A_img)
         return {"A": a, "A_paths": A_path}

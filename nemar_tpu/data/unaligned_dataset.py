@@ -27,23 +27,23 @@ class UnalignedDataset(BaseDataset):
         btoA = opt.direction == "BtoA"
         self.input_nc = opt.output_nc if btoA else opt.input_nc
         self.output_nc = opt.input_nc if btoA else opt.output_nc
-        self._rng = np.random.default_rng(getattr(opt, "seed", 0) + 2)
 
     def __len__(self):
         return max(self.A_size, self.B_size)
 
     def __getitem__(self, index):
+        rng = self.item_rng(index)
         A_path = self.A_paths[index % self.A_size]
         if self.opt.serial_batches:
             index_B = index % self.B_size
         else:
-            index_B = int(self._rng.integers(0, self.B_size))
+            index_B = int(rng.integers(0, self.B_size))
         B_path = self.B_paths[index_B]
         A_img = Image.open(A_path).convert("RGB")
         B_img = Image.open(B_path).convert("RGB")
         # Independent draws per domain (unaligned pairs share no geometry).
-        pA = get_params(self.opt, A_img.size, self._rng)
-        pB = get_params(self.opt, B_img.size, self._rng)
+        pA = get_params(self.opt, A_img.size, rng)
+        pB = get_params(self.opt, B_img.size, rng)
         a = get_transform(self.opt, pA, grayscale=(self.input_nc == 1))(A_img)
         b = get_transform(self.opt, pB, grayscale=(self.output_nc == 1))(B_img)
         return {"A": a, "B": b, "A_paths": A_path, "B_paths": B_path}

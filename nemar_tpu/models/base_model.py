@@ -111,6 +111,13 @@ class BaseModel(ABC):
         if epoch is None:
             epoch = getattr(self, "_epoch", self.opt.epoch_count)
             self._epoch = epoch + 1
+        if getattr(self.opt, "lr_policy", "linear") == "plateau" and self._losses:
+            # feed the plateau controller the model's primary loss (the
+            # reference leaves self.metric at 0 and the policy inert; we
+            # make the flag actually do what it advertises).
+            vals = jax.device_get(self._losses)
+            key = "G" if "G" in vals else sorted(vals)[0]
+            self.metric = float(vals[key])
         mult = self.lr_fn(epoch, self.metric)
         old = self.current_lr
         self.current_lr = self.opt.lr * mult
@@ -142,6 +149,13 @@ class BaseModel(ABC):
         """
         assert self.state is not None
         suffix = str(suffix)
+        is_async = getattr(self.opt, "async_checkpoint", False)
+        if is_async:
+            # join the PREVIOUS in-flight save and publish its meta before
+            # starting a new one — checkpoint_meta.json must only ever point
+            # at a fully committed tree, or auto-resume after preemption
+            # lands on a half-written checkpoint.
+            self._flush_pending_meta()
         self._ckpt.save(self._ckpt_path(suffix), self.state, force=True)
         for n in getattr(self, "save_names", self.model_names):
             self._ckpt.save(
@@ -151,12 +165,31 @@ class BaseModel(ABC):
                 self._net_params(n),
                 force=True,
             )
-        # --async_checkpoint: let orbax finish in the background (training
-        # continues; the next save or interpreter exit joins the writer).
-        if not getattr(self.opt, "async_checkpoint", False):
+        meta = {"latest": suffix, "step": int(self.state.step)}
+        if is_async:
+            # training continues while orbax writes; the meta is published by
+            # the next save or the atexit join.
+            self._pending_meta = meta
+            if not getattr(self, "_atexit_registered", False):
+                import atexit
+
+                atexit.register(self._flush_pending_meta)
+                self._atexit_registered = True
+        else:
             self._ckpt.wait_until_finished()
+            self._write_meta(meta)
+
+    def _write_meta(self, meta: dict):
         with open(os.path.join(self.save_dir, "checkpoint_meta.json"), "w") as f:
-            json.dump({"latest": suffix, "step": int(self.state.step)}, f)
+            json.dump(meta, f)
+
+    def _flush_pending_meta(self):
+        """Join the in-flight async save, then publish its meta."""
+        meta = getattr(self, "_pending_meta", None)
+        if meta is not None:
+            self._ckpt.wait_until_finished()
+            self._write_meta(meta)
+            self._pending_meta = None
 
     def load_networks(self, suffix):
         assert self.state is not None, "build state before loading"
@@ -172,8 +205,20 @@ class BaseModel(ABC):
         if self.isTrain and getattr(self.opt, "continue_train", False):
             path = self._ckpt_path(suffix)
             if not os.path.exists(path):
-                print(f"no checkpoint found at {path}; starting fresh")
-                return
+                # the aliased checkpoint may have been lost to a mid-commit
+                # preemption — fall back to the newest complete tree.
+                import glob
+
+                cands = sorted(
+                    glob.glob(os.path.join(self.save_dir, "*_state")),
+                    key=os.path.getmtime,
+                )
+                if cands:
+                    path = cands[-1]
+                    print(f"checkpoint '{suffix}' missing; falling back to {path}")
+                else:
+                    print(f"no checkpoint found at {path}; starting fresh")
+                    return
             print(f"loading the model from {path}")
             restored = self._ckpt.restore(path, self.state)
             self.state = replicate(restored, self.mesh)
@@ -183,8 +228,12 @@ class BaseModel(ABC):
         for n in getattr(self, "save_names", self.model_names):
             path = os.path.abspath(os.path.join(self.save_dir, f"{suffix}_net_{n}"))
             if not os.path.exists(path):
-                print(f"no checkpoint found at {path}; starting fresh")
-                return
+                # inference against a missing net must not silently evaluate
+                # random weights (reference errors on a missing .pth).
+                raise FileNotFoundError(
+                    f"no checkpoint for net {n} at {path} — refusing to run "
+                    f"inference with randomly initialized weights"
+                )
             print(f"loading the model from {path}")
             updates[n] = self._ckpt.restore(path, self._net_params(n))
         state = self._set_net_params(updates)

@@ -331,7 +331,9 @@ class NEMARModel(BaseModel):
             return self._train_step_impl(st, ab[0], ab[1], lr)
 
         state, ms = jax.lax.scan(body, state, (a_stack, b_stack))
-        return state, jax.tree.map(lambda x: x[-1], ms)
+        # report the mean over the fused steps (last-step-only hid all but
+        # 1/spe of the training signal from the logs)
+        return state, jax.tree.map(lambda x: x.mean(0), ms)
 
     # ------------------------------------------------------------------
     # reference-API host methods
@@ -365,7 +367,12 @@ class NEMARModel(BaseModel):
 
         a = np.stack([bt["A"] for bt in batches])
         b = np.stack([bt["B"] for bt in batches])
-        sd = NamedSharding(self.mesh, P(None, "data"))  # (steps, batch, H, W, C)
+        # (steps, batch, H, W, C): batch over 'data' when divisible,
+        # replicated otherwise (same tail policy as shard_batch)
+        if a.shape[1] % self.mesh.shape["data"] == 0:
+            sd = NamedSharding(self.mesh, P(None, "data"))
+        else:
+            sd = NamedSharding(self.mesh, P())
         a = jax.device_put(a, sd)
         b = jax.device_put(b, sd)
         lr = self._lr_scalar()

@@ -365,17 +365,21 @@ def cal_gradient_penalty(
 def get_lr_multiplier_fn(opt) -> Callable[[int, float], float]:
     """Returns fn(epoch, metric) -> lr multiplier, stepped once per epoch.
 
-    'linear' matches the template:
-      mult = 1 - max(0, epoch + epoch_count - n_epochs) / (n_epochs_decay + 1)
+    `epoch` is the ABSOLUTE epoch number (starts at epoch_count). The
+    reference's LambdaLR receives a 0-based scheduler step s with
+    mult = 1 - max(0, s + epoch_count - n_epochs) / (n_epochs_decay + 1);
+    since s = epoch - epoch_count + 1, that is equivalent (for fresh AND
+    resumed runs alike) to the absolute-epoch form below — adding
+    epoch_count again would make resumed runs decay epoch_count-1 epochs
+    early.
     """
     policy = getattr(opt, "lr_policy", "linear")
     if policy == "linear":
         n_epochs = getattr(opt, "n_epochs", 100)
         n_decay = getattr(opt, "n_epochs_decay", 100)
-        epoch_count = getattr(opt, "epoch_count", 1)
 
         def fn(epoch, metric=None):
-            return 1.0 - max(0, epoch + epoch_count - n_epochs) / float(n_decay + 1)
+            return 1.0 - max(0, epoch + 1 - n_epochs) / float(n_decay + 1)
 
         return fn
     if policy == "step":

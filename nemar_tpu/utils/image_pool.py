@@ -53,20 +53,24 @@ def query_pool(
     fill_idx = state.count + jnp.arange(n, dtype=jnp.int32)
     filling = fill_idx < p
 
-    # Where to write: filling slots while not full, else the swapped slot
-    # (only when use_old). Writes that shouldn't happen target index p
-    # (out of range -> dropped by scatter with fill semantics).
+    # returned_old reads the PRE-update buffer, so a swap is only legal
+    # against slots that were valid BEFORE this batch (rand_idx < count) —
+    # otherwise a batch crossing the fill boundary could hand D a
+    # never-written zero image from a slot an earlier item is filling.
+    swap = jnp.logical_and(
+        jnp.logical_and(~filling, use_old), rand_idx < state.count
+    )
+
+    # Where to write: filling slots while not full, else the swapped slot.
+    # Writes that shouldn't happen target index p (out of range -> dropped
+    # by scatter with drop semantics).
     write_idx = jnp.where(
         filling, jnp.minimum(fill_idx, p - 1),
-        jnp.where(use_old, rand_idx, p),  # p == dropped
+        jnp.where(swap, rand_idx, p),  # p == dropped
     )
     new_images = state.images.at[write_idx].set(fakes, mode="drop")
 
     returned_old = state.images[rand_idx]
-    out = jnp.where(
-        (jnp.logical_and(~filling, use_old))[:, None, None, None],
-        returned_old,
-        fakes,
-    )
+    out = jnp.where(swap[:, None, None, None], returned_old, fakes)
     new_count = jnp.minimum(state.count + n, p)
     return PoolState(new_images, new_count), out

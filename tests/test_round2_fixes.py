@@ -1,0 +1,224 @@
+"""Round-2 correctness fixes: LR schedule resume, plateau policy, pool fill
+boundary, spe tail flush, worker-safe augmentation RNG, checkpoint meta
+ordering, test-time missing-checkpoint hard-fail (VERDICT/ADVICE round 1)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from nemar_tpu.models import create_model
+from nemar_tpu.models.networks import get_lr_multiplier_fn
+from nemar_tpu.options import TestOptions, TrainOptions
+from nemar_tpu.utils.image_pool import init_pool, query_pool
+from tests.test_model_step import make_batch, make_opt
+
+
+class TestLinearScheduleResume:
+    def test_resumed_run_matches_fresh_run(self):
+        """The multiplier is a function of the ABSOLUTE epoch only; a resumed
+        run (epoch_count=51) must not start decaying 50 epochs early."""
+
+        class Fresh:
+            lr_policy, n_epochs, n_epochs_decay, epoch_count = "linear", 100, 100, 1
+
+        class Resumed(Fresh):
+            epoch_count = 51
+
+        f, r = get_lr_multiplier_fn(Fresh()), get_lr_multiplier_fn(Resumed())
+        for epoch in (51, 99, 100, 150, 199):
+            assert f(epoch) == r(epoch), epoch
+        assert r(99) == 1.0  # no decay before n_epochs
+        np.testing.assert_allclose(r(100), 1.0 - 1 / 101)
+        np.testing.assert_allclose(r(199), 1.0 - 100 / 101)
+
+
+class TestPlateauPolicy:
+    def test_multiplier_drops_after_patience(self, tmp_path, rng):
+        opt = make_opt(tmp_path, ["--lr_policy", "plateau"])
+        model = create_model(opt)
+        model.setup(opt)
+        model.set_input(make_batch(opt, rng))
+        model.optimize_parameters()  # populate _losses
+        lrs = []
+        for epoch in range(1, 10):
+            model.update_learning_rate(epoch)
+            lrs.append(model.current_lr)
+        # constant metric = plateau: after patience (5) epochs the 0.2 factor
+        # must have kicked in at least once
+        assert min(lrs) <= opt.lr * 0.2 + 1e-12
+        assert lrs[0] == opt.lr  # not dropped immediately
+
+
+class TestPoolFillBoundary:
+    def test_no_zero_image_across_fill_boundary(self, rng):
+        """A batch crossing the fill boundary must never return a never-
+        written (all-zero) slot (ADVICE round 1)."""
+        fakes0 = jnp.asarray(rng.standard_normal((2, 2, 2, 1), dtype=np.float32)) + 5.0
+        batch = jnp.asarray(rng.standard_normal((4, 2, 2, 1), dtype=np.float32)) + 5.0
+        key = jax.random.key(0)
+        for i in range(32):
+            pool = init_pool(4, (2, 2, 1))
+            pool, _ = query_pool(pool, fakes0, jax.random.key(100 + i))
+            assert int(pool.count) == 2
+            key, k = jax.random.split(key)
+            _, out = query_pool(pool, batch, k)
+            out = np.asarray(out)
+            for j in range(4):
+                assert np.abs(out[j]).max() > 1.0, (
+                    f"item {j} returned a never-written zero slot (trial {i})"
+                )
+                # must be the incoming fake or one of the PRE-batch valid slots
+                cands = [np.asarray(batch[j])] + [np.asarray(fakes0[m]) for m in range(2)]
+                assert any(np.allclose(out[j], c) for c in cands)
+
+
+class TestStepsPerExecutionTail:
+    def test_tail_batches_train(self, tmp_path):
+        """spe=4 with 6 batches/epoch must run all 6 (round 1 dropped 2)."""
+        from nemar_tpu.data import create_dataset
+        from nemar_tpu.utils.visualizer import Visualizer
+        from train import _train_epochs
+
+        opt = make_opt(tmp_path, [
+            "--steps_per_execution", "4", "--synthetic_size", "24",
+            "--batch_size", "4", "--n_epochs", "1", "--n_epochs_decay", "0",
+            "--no_html", "--print_freq", "1000000",
+            "--display_freq", "1000000", "--save_epoch_freq", "100",
+        ])
+        dataset = create_dataset(opt)
+        assert dataset.num_batches() == 6
+        model = create_model(opt)
+        model.setup(opt)
+        vis = Visualizer(opt)
+        _train_epochs(opt, dataset, len(dataset), model, vis, 0, spe=4)
+        assert int(model.state.step) == 6
+        # scan metrics are means over fused steps -> finite scalars
+        for v in model.get_current_losses().values():
+            assert np.isfinite(v)
+
+
+class TestWorkerSafeRNG:
+    def _make_pairs(self, root, n=3, size=20):
+        for sub in ("trainA", "trainB"):
+            d = os.path.join(root, sub)
+            os.makedirs(d)
+            for i in range(n):
+                arr = (np.random.default_rng(i).random((size, size, 3)) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(os.path.join(d, f"{i:03d}.png"))
+
+    def _opt(self, root):
+        return TrainOptions().parse([
+            "--dataroot", root, "--name", "t", "--model", "nemar",
+            "--dataset_mode", "multimodal", "--checkpoints_dir", root,
+            "--preprocess", "resize_and_crop", "--load_size", "24",
+            "--crop_size", "16", "--batch_size", "1",
+        ])
+
+    def test_draws_independent_of_access_order(self, tmp_path):
+        from nemar_tpu.data import find_dataset_using_name
+
+        root = str(tmp_path / "ds")
+        self._make_pairs(root)
+        opt = self._opt(root)
+        cls = find_dataset_using_name("multimodal")
+        d1, d2 = cls(opt), cls(opt)
+        d1.set_epoch(1), d2.set_epoch(1)
+        fwd = [d1[i]["A"] for i in range(3)]
+        rev = [d2[i]["A"] for i in reversed(range(3))][::-1]
+        for a, b in zip(fwd, rev):
+            np.testing.assert_array_equal(a, b)
+
+    def test_epochs_differ(self, tmp_path):
+        from nemar_tpu.data import find_dataset_using_name
+
+        root = str(tmp_path / "ds")
+        self._make_pairs(root)
+        opt = self._opt(root)
+        ds = find_dataset_using_name("multimodal")(opt)
+        ds.set_epoch(1)
+        e1 = [ds[i]["A"].copy() for i in range(3)]
+        ds.set_epoch(2)
+        e2 = [ds[i]["A"] for i in range(3)]
+        assert any(not np.array_equal(a, b) for a, b in zip(e1, e2))
+
+    def test_grain_workers_match_inline(self, tmp_path):
+        """Two grain worker processes must produce the same draws as
+        worker_count=0 (VERDICT round 1 weak #6)."""
+        from nemar_tpu.data import create_dataset
+
+        root = str(tmp_path / "ds")
+        self._make_pairs(root)
+
+        def batches(workers):
+            opt = self._opt(root)
+            opt.loader = "grain"
+            opt.num_threads = workers
+            opt.serial_batches = True
+            loader = create_dataset(opt)
+            return [b["A"].copy() for b in loader]
+
+        b0, b2 = batches(0), batches(2)
+        assert len(b0) == len(b2) == 3
+        for a, b in zip(b0, b2):
+            np.testing.assert_array_equal(a, b)
+
+
+class TestCheckpointMetaOrdering:
+    def test_async_meta_published_only_after_commit_join(self, tmp_path, rng):
+        opt = make_opt(tmp_path, ["--async_checkpoint"])
+        model = create_model(opt)
+        model.setup(opt)
+        model.set_input(make_batch(opt, rng))
+        model.optimize_parameters()
+        meta_path = os.path.join(model.save_dir, "checkpoint_meta.json")
+        model.save_networks("7")
+        # meta is deferred to the join (pending), then published
+        model._flush_pending_meta()
+        with open(meta_path) as f:
+            meta = json.load(f)
+        assert meta["latest"] == "7"
+        assert os.path.exists(model._ckpt_path("7"))
+        # a second flush is a no-op
+        model._flush_pending_meta()
+
+    def test_fallback_to_newest_complete_checkpoint(self, tmp_path, rng):
+        opt = make_opt(tmp_path)
+        model = create_model(opt)
+        model.setup(opt)
+        model.set_input(make_batch(opt, rng))
+        model.optimize_parameters()
+        model.save_networks("5")
+        # simulate a meta pointing at a checkpoint lost mid-commit
+        with open(os.path.join(model.save_dir, "checkpoint_meta.json"), "w") as f:
+            json.dump({"latest": "bogus", "step": 99}, f)
+
+        opt2 = make_opt(tmp_path, ["--continue_train"])
+        model2 = create_model(opt2)
+        model2.setup(opt2)  # must fall back to 5_state, not start fresh
+        assert int(model2.state.step) == 1
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(model2.state.params_G)[0]),
+            np.asarray(jax.tree.leaves(model.state.params_G)[0]),
+        )
+
+
+class TestTestTimeMissingCheckpoint:
+    def test_inference_refuses_random_weights(self, tmp_path):
+        args = [
+            "--dataroot", "__synthetic__", "--name", "t", "--model", "nemar",
+            "--checkpoints_dir", str(tmp_path / "empty_ckpt"),
+            "--dataset_mode", "synthetic",
+            "--crop_size", "32", "--load_size", "32",
+            "--ngf", "8", "--ndf", "8", "--stn_ngf", "8", "--stn_depth", "3",
+            "--results_dir", str(tmp_path / "res"),
+        ]
+        topt = TestOptions().parse(args)
+        model = create_model(topt)
+        with pytest.raises(FileNotFoundError, match="refusing"):
+            model.setup(topt)

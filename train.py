@@ -104,6 +104,13 @@ def _train_epochs(opt, dataset, dataset_size, model, visualizer, total_iters, sp
 
             iter_data_time = time.time()
 
+        if pending:
+            # flush the tail when spe does not divide the epoch's batch count
+            # (otherwise those batches would silently never train; the
+            # shorter stack costs one extra compile, once per tail length)
+            model.optimize_parameters_scan(pending)
+            pending = []
+
         if epoch % opt.save_epoch_freq == 0:
             print(f"saving the model at the end of epoch {epoch}, iters {total_iters}")
             model.save_networks("latest")
