@@ -94,13 +94,16 @@ class Pix2PixModel(BaseModel):
         # torch step shares one forward)
         rngs = {"dropout": r_drop} if self.use_dropout else None
 
-        def apply_g(pg, x):
-            return self.netG.apply(pg, x, True, rngs=rngs)
-
-        fake_B = jax.lax.stop_gradient(apply_g(state.params_G, a))
+        # forward ONCE via vjp: detached output feeds the D step, saved
+        # residuals backprop the G loss (torch's shared-graph structure —
+        # XLA does not CSE a recomputed forward, measured on the nemar step)
+        fake_B, g_vjp = jax.vjp(
+            lambda pg: self.netG.apply(pg, a, True, rngs=rngs), state.params_G
+        )
+        fake_det = jax.lax.stop_gradient(fake_B)
 
         def d_loss(pd):
-            pred_fake = self.netD.apply(pd, jnp.concatenate([a, fake_B], -1))
+            pred_fake = self.netD.apply(pd, jnp.concatenate([a, fake_det], -1))
             pred_real = self.netD.apply(pd, jnp.concatenate([a, b], -1))
             lf = networks.gan_loss(pred_fake, False, self.gan_mode)
             lrr = networks.gan_loss(pred_real, True, self.gan_mode)
@@ -110,14 +113,14 @@ class Pix2PixModel(BaseModel):
         upd_d, opt_D = self.tx.update(g_d, state.opt_D, state.params_D)
         params_D = apply_updates(state.params_D, upd_d, lr)
 
-        def g_loss(pg):
-            fb = apply_g(pg, a)
+        def g_head(fb):
             pred = self.netD.apply(params_D, jnp.concatenate([a, fb], -1))
             l_gan = networks.gan_loss(pred, True, self.gan_mode)
             l_l1 = jnp.mean(jnp.abs(fb - b)) * self.lambda_L1
             return l_gan + l_l1, (l_gan, l_l1)
 
-        (_, (l_gan, l_l1)), g_g = jax.value_and_grad(g_loss, has_aux=True)(state.params_G)
+        (_, (l_gan, l_l1)), d_fake = jax.value_and_grad(g_head, has_aux=True)(fake_B)
+        (g_g,) = g_vjp(d_fake)
         upd_g, opt_G = self.tx.update(g_g, state.opt_G, state.params_G)
         params_G = apply_updates(state.params_G, upd_g, lr)
 
