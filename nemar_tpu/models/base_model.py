@@ -105,6 +105,12 @@ class BaseModel(ABC):
     def get_image_paths(self):
         return getattr(self, "image_paths", [])
 
+    # -- epoch-indexed schedules ---------------------------------------------
+    def set_epoch(self, epoch: int):
+        """Current absolute epoch (train.py calls this at epoch start;
+        feeds warm-up/ramp schedules)."""
+        self._cur_epoch = int(epoch)
+
     # -- LR schedule -------------------------------------------------------
     def update_learning_rate(self, epoch: int | None = None):
         """Step the per-epoch LR multiplier (reference update_learning_rate)."""

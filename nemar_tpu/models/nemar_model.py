@@ -100,6 +100,28 @@ class NEMARModel(BaseModel):
                                 help="weight of the smoothness/identity regularizer")
             parser.add_argument("--stn_lr", type=float, default=None,
                                 help="separate lr for the STN (default: --lr)")
+            parser.add_argument("--stn_beta1", type=float, default=None,
+                                help="separate Adam beta1 for the STN "
+                                     "(default: --beta1; flow regression "
+                                     "prefers the standard 0.9)")
+            parser.add_argument("--gan_warmup_epochs", type=int, default=0,
+                                help="epochs of pure recon+smooth before GAN "
+                                     "gradients reach G (R warm-up; prevents "
+                                     "the generator absorbing the geometry "
+                                     "early — ROADMAP round-2)")
+            parser.add_argument("--gan_ramp_epochs", type=int, default=0,
+                                help="epochs to linearly ramp lambda_GAN "
+                                     "back in after the warm-up")
+            parser.add_argument("--border_mask", action="store_true",
+                                help="mask the recon L1 by the warp validity "
+                                     "region (out-of-view borders give false "
+                                     "photometric gradients)")
+            parser.add_argument("--grad_accum", type=int, default=1,
+                                help="microbatches per optimizer step; "
+                                     "activation memory scales 1/N with "
+                                     "IDENTICAL math (per-sample instance "
+                                     "norm + mean losses) — fits 512^2 "
+                                     "batch 32 on one chip")
             parser.add_argument("--ema_decay", type=float, default=0.0,
                                 help=">0: keep EMA shadows of G and R "
                                      "(e.g. 0.999); evaluate with --use_ema")
@@ -136,10 +158,23 @@ class NEMARModel(BaseModel):
         self.pool_size = getattr(opt, "pool_size", 0)
         self.bf16 = getattr(opt, "bf16", False)
         beta1 = getattr(opt, "beta1", 0.5)
+        stn_beta1 = getattr(opt, "stn_beta1", None)
         self.tx = optax.scale_by_adam(b1=beta1, b2=0.999, eps=1e-8)
+        self.tx_R = optax.scale_by_adam(
+            b1=beta1 if stn_beta1 is None else stn_beta1, b2=0.999, eps=1e-8
+        )
         base_lr = getattr(opt, "lr", 2e-4)
         stn_lr = getattr(opt, "stn_lr", None)
         self.stn_lr_ratio = 1.0 if stn_lr is None else stn_lr / base_lr
+        self.gan_warmup = getattr(opt, "gan_warmup_epochs", 0)
+        self.gan_ramp = getattr(opt, "gan_ramp_epochs", 0)
+        self.border_mask = getattr(opt, "border_mask", False)
+        self.grad_accum = max(1, getattr(opt, "grad_accum", 1))
+        if self.isTrain and opt.batch_size % self.grad_accum:
+            raise ValueError(
+                f"--grad_accum {self.grad_accum} must divide "
+                f"--batch_size {opt.batch_size}"
+            )
         self.ema_decay = getattr(opt, "ema_decay", 0.0)
         self.use_ema = getattr(opt, "use_ema", False)
         # EMA shadows ride the per-net checkpoint layout as pseudo-nets so a
@@ -166,7 +201,7 @@ class NEMARModel(BaseModel):
         params_G = self.netG.init(kG, a0)
         params_D = self.netD.init(kD, b0)
         params_R = self.netR.init(kR, a0, b0, ())
-        opt_G = self.tx.init({"G": params_G, "R": params_R})
+        opt_G = {"G": self.tx.init(params_G), "R": self.tx_R.init(params_R)}
         opt_D = self.tx.init(params_D)
         pool = (
             init_pool(self.pool_size, (h, w, opt.output_nc))
@@ -234,6 +269,21 @@ class NEMARModel(BaseModel):
             "fake_B": fake_B, "reg_fakeB": reg_fakeB, "warped_A": warped_A,
             "fake_B2": fake_B2, "reg": reg,
         }
+        if self.border_mask:
+            # validity of each output pixel under the warp: borders pulled
+            # in from outside the source give false photometric gradients.
+            # stop_gradient: the mask must not be a lever for shrinking the
+            # loss support.
+            from nemar_tpu.ops.warp import grid_sample
+
+            ones = jnp.ones(a.shape[:3] + (1,), jnp.float32)
+            mask = grid_sample(
+                ones, aux["grid"].astype(jnp.float32),
+                padding_mode="zeros",
+                align_corners=getattr(self.opt, "stn_align_corners", False),
+                impl=getattr(self.opt, "warp_impl", "auto"),
+            )
+            out["mask"] = jax.lax.stop_gradient(mask)
         return jax.tree.map(lambda x: x.astype(jnp.float32), out), aux
 
     def _forward_all(self, state: NemarState, a, b):
@@ -276,7 +326,38 @@ class NEMARModel(BaseModel):
     def _apply_updates(self, params, updates, lr):
         return jax.tree.map(lambda p, u: p - lr * u, params, updates)
 
-    def _train_step_impl(self, state: NemarState, a, b, lr):
+    def _loss_inputs(self, out):
+        """The forward outputs the G+R loss actually consumes."""
+        keep = {"reg_fakeB": out["reg_fakeB"], "fake_B2": out["fake_B2"],
+                "reg": out["reg"]}
+        if "mask" in out:
+            keep["mask"] = out["mask"]
+        return keep
+
+    def _head_loss(self, o, b, params_D, gan_w):
+        """G+R loss on forward outputs `o` against a frozen D."""
+        pred = self.netD.apply(self._cast(params_D), self._cast(o["reg_fakeB"]))
+        l_gan = networks.gan_loss(pred.astype(jnp.float32), True, self.gan_mode)
+        if "mask" in o:
+            m = o["mask"]  # (N, H, W, 1), stop-gradient upstream
+            denom = jnp.maximum(jnp.sum(m), 1.0)
+            l_recon = (
+                jnp.sum(jnp.abs(o["reg_fakeB"] - b).mean(-1, keepdims=True) * m)
+                + jnp.sum(jnp.abs(o["fake_B2"] - b).mean(-1, keepdims=True) * m)
+            ) / denom
+        else:
+            l_recon = jnp.mean(jnp.abs(o["reg_fakeB"] - b)) + jnp.mean(
+                jnp.abs(o["fake_B2"] - b)
+            )
+        l_smooth = o["reg"]
+        total = (
+            gan_w * self.lambda_GAN * l_gan
+            + self.lambda_recon * l_recon
+            + self.lambda_smooth * l_smooth
+        )
+        return total, (l_gan, l_recon, l_smooth)
+
+    def _train_step_impl(self, state: NemarState, a, b, lr, gan_w):
         """One reference optimize_parameters() (SURVEY §4.2), one XLA program.
 
         The forward (2 G passes + STN + warps, ~76 GFLOP/pair of the step's
@@ -286,7 +367,12 @@ class NEMARModel(BaseModel):
         torch autograd (forward once, backward_D on detached fake,
         backward_G through the stored graph). Recomputing the forward inside
         a second value_and_grad is NOT CSE'd by XLA (measured +13.5% FLOPs).
+
+        --grad_accum > 1 routes to the microbatched variant (identical math,
+        1/N activation memory).
         """
+        if self.grad_accum > 1:
+            return self._train_step_accum(state, a, b, lr, gan_w)
         rng, r_pool, r_gp = jax.random.split(state.rng, 3)
         pgr = {"G": state.params_G, "R": state.params_R}
 
@@ -294,8 +380,7 @@ class NEMARModel(BaseModel):
             out, _ = self._forward_parts(p["G"], p["R"], a, b)
             # only the loss inputs: zero-cotangent extras (fake_B, warped_A)
             # would otherwise pay real backward FLOPs
-            return {"reg_fakeB": out["reg_fakeB"], "fake_B2": out["fake_B2"],
-                    "reg": out["reg"]}
+            return self._loss_inputs(out)
 
         out, fwd_vjp = jax.vjp(fwd_fn, pgr)
 
@@ -312,28 +397,16 @@ class NEMARModel(BaseModel):
         params_D = self._apply_updates(state.params_D, upd_D, lr)
 
         # ---- G+R step against the UPDATED, frozen D ------------------------
-        def head_loss(o):
-            pred = self.netD.apply(self._cast(params_D), self._cast(o["reg_fakeB"]))
-            l_gan = networks.gan_loss(pred.astype(jnp.float32), True, self.gan_mode)
-            l_recon = jnp.mean(jnp.abs(o["reg_fakeB"] - b)) + jnp.mean(
-                jnp.abs(o["fake_B2"] - b)
-            )
-            l_smooth = o["reg"]
-            total = (
-                self.lambda_GAN * l_gan
-                + self.lambda_recon * l_recon
-                + self.lambda_smooth * l_smooth
-            )
-            return total, (l_gan, l_recon, l_smooth)
-
         (loss_G, (l_gan, l_rec, l_sm)), dout = jax.value_and_grad(
-            head_loss, has_aux=True
+            lambda o: self._head_loss(o, b, params_D, gan_w), has_aux=True
         )(out)
         (grads_G,) = fwd_vjp(dout)
-        upd_G, opt_G = self.tx.update(grads_G, state.opt_G, pgr)
-        params_G = self._apply_updates(pgr["G"], upd_G["G"], lr)
+        upd_GG, opt_gG = self.tx.update(grads_G["G"], state.opt_G["G"], pgr["G"])
+        upd_GR, opt_gR = self.tx_R.update(grads_G["R"], state.opt_G["R"], pgr["R"])
+        opt_G = {"G": opt_gG, "R": opt_gR}
+        params_G = self._apply_updates(pgr["G"], upd_GG, lr)
         params_R = self._apply_updates(
-            pgr["R"], upd_G["R"], lr * self.stn_lr_ratio
+            pgr["R"], upd_GR, lr * self.stn_lr_ratio
         )
 
         ema = state.ema
@@ -354,11 +427,98 @@ class NEMARModel(BaseModel):
         }
         return new_state, metrics
 
-    def _train_scan_impl(self, state: NemarState, a_stack, b_stack, lr):
+    def _train_step_accum(self, state: NemarState, a, b, lr, gan_w):
+        """Gradient-accumulated step: scan over --grad_accum microbatches.
+
+        Identical math to the full-batch step (instance norm is per-sample;
+        every loss is a mean over the batch, so the mean of microbatch
+        grads equals the full-batch grad), but activations live only one
+        microbatch at a time inside the scan — the memory lever that fits
+        512² batch 32 on a single chip (BASELINE config #4). Costs one extra
+        detached forward per microbatch vs the vjp-shared fast path.
+        """
+        k = self.grad_accum
+        n = a.shape[0] // k
+        am = a.reshape((k, n) + a.shape[1:])
+        bm = b.reshape((k, n) + b.shape[1:])
+        rng, r_pool, r_gp = jax.random.split(state.rng, 3)
+        r_pools = jax.random.split(r_pool, k)
+        r_gps = jax.random.split(r_gp, k)
+        pgr = {"G": state.params_G, "R": state.params_R}
+        zeros_like = lambda t: jax.tree.map(jnp.zeros_like, t)
+
+        # ---- D grads over microbatches (detached fakes; pool threaded) ----
+        def d_body(carry, inp):
+            pool, gacc, lacc = carry
+            ai, bi, rp, rg = inp
+            out, _ = self._forward_parts(pgr["G"], pgr["R"], ai, bi)
+            fake = jax.lax.stop_gradient(out["reg_fakeB"])
+            if pool is not None:
+                pool, fake = query_pool(pool, fake, rp)
+            (ld, (ldr, ldf)), gd = jax.value_and_grad(
+                self._d_loss, has_aux=True
+            )(state.params_D, fake, bi, rg)
+            gacc = jax.tree.map(jnp.add, gacc, gd)
+            return (pool, gacc, lacc + jnp.stack([ld, ldr, ldf])), None
+
+        (new_pool, gD, lD), _ = jax.lax.scan(
+            d_body,
+            (state.pool, zeros_like(state.params_D), jnp.zeros((3,))),
+            (am, bm, r_pools, r_gps),
+        )
+        gD = jax.tree.map(lambda x: x / k, gD)
+        loss_D, l_dr, l_df = (lD / k)[0], (lD / k)[1], (lD / k)[2]
+        upd_D, opt_D = self.tx.update(gD, state.opt_D, state.params_D)
+        params_D = self._apply_updates(state.params_D, upd_D, lr)
+
+        # ---- G+R grads over microbatches against the UPDATED D ----
+        def g_loss_micro(p, ai, bi):
+            out, _ = self._forward_parts(p["G"], p["R"], ai, bi)
+            return self._head_loss(self._loss_inputs(out), bi, params_D, gan_w)
+
+        def g_body(carry, inp):
+            gacc, lacc = carry
+            ai, bi = inp
+            (lg, (lgan, lrec, lsm)), gg = jax.value_and_grad(
+                g_loss_micro, has_aux=True
+            )(pgr, ai, bi)
+            gacc = jax.tree.map(jnp.add, gacc, gg)
+            return (gacc, lacc + jnp.stack([lg, lgan, lrec, lsm])), None
+
+        (gG, lG), _ = jax.lax.scan(
+            g_body, (zeros_like(pgr), jnp.zeros((4,))), (am, bm)
+        )
+        gG = jax.tree.map(lambda x: x / k, gG)
+        loss_G, l_gan, l_rec, l_sm = (lG / k)[0], (lG / k)[1], (lG / k)[2], (lG / k)[3]
+        upd_GG, opt_gG = self.tx.update(gG["G"], state.opt_G["G"], pgr["G"])
+        upd_GR, opt_gR = self.tx_R.update(gG["R"], state.opt_G["R"], pgr["R"])
+        opt_G = {"G": opt_gG, "R": opt_gR}
+        params_G = self._apply_updates(pgr["G"], upd_GG, lr)
+        params_R = self._apply_updates(pgr["R"], upd_GR, lr * self.stn_lr_ratio)
+
+        ema = state.ema
+        if ema is not None:
+            d = self.ema_decay
+            ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                ema, {"G": params_G, "R": params_R},
+            )
+        new_state = state.replace(
+            step=state.step + 1,
+            params_G=params_G, params_D=params_D, params_R=params_R,
+            opt_G=opt_G, opt_D=opt_D, rng=rng, pool=new_pool, ema=ema,
+        )
+        metrics = {
+            "D": loss_D, "D_real": l_dr, "D_fake": l_df,
+            "G_GAN": l_gan, "G_recon": l_rec, "G_smooth": l_sm, "G": loss_G,
+        }
+        return new_state, metrics
+
+    def _train_scan_impl(self, state: NemarState, a_stack, b_stack, lr, gan_w):
         """--steps_per_execution fused steps in one dispatch (lax.scan)."""
 
         def body(st, ab):
-            return self._train_step_impl(st, ab[0], ab[1], lr)
+            return self._train_step_impl(st, ab[0], ab[1], lr, gan_w)
 
         state, ms = jax.lax.scan(body, state, (a_stack, b_stack))
         # report the mean over the fused steps (last-step-only hid all but
@@ -384,10 +544,24 @@ class NEMARModel(BaseModel):
         }
         return out
 
+    def _gan_w_scalar(self):
+        """GAN weight for the current epoch (R warm-up, then linear ramp) as
+        an explicitly placed device scalar (same rationale as _lr_scalar)."""
+        epoch = getattr(self, "_cur_epoch", getattr(self.opt, "epoch_count", 1))
+        if not self.isTrain or self.gan_warmup <= 0:
+            w = 1.0
+        elif epoch <= self.gan_warmup:
+            w = 0.0
+        elif self.gan_ramp > 0:
+            w = min(1.0, (epoch - self.gan_warmup) / float(self.gan_ramp))
+        else:
+            w = 1.0
+        return jax.device_put(np.float32(w))
+
     def optimize_parameters(self):
         lr = self._lr_scalar()
         self.state, metrics = self._train_step(
-            self.state, self.real_A, self.real_B, lr
+            self.state, self.real_A, self.real_B, lr, self._gan_w_scalar()
         )
         self._losses = metrics
 
@@ -406,7 +580,9 @@ class NEMARModel(BaseModel):
         a = jax.device_put(a, sd)
         b = jax.device_put(b, sd)
         lr = self._lr_scalar()
-        self.state, metrics = self._train_scan(self.state, a, b, lr)
+        self.state, metrics = self._train_scan(
+            self.state, a, b, lr, self._gan_w_scalar()
+        )
         self._losses = metrics
         self.image_paths = batches[-1].get("A_paths", [])
         self.real_A = jnp.asarray(batches[-1]["A"])

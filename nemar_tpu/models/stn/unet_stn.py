@@ -52,8 +52,9 @@ class UnetSTN(nn.Module):
     multiscale: bool = False  # coarse-to-fine flow heads at each decoder level
 
     @nn.compact
-    def predict_flow(self, a: jax.Array, b: jax.Array) -> jax.Array:
-        """(N, H, W, 2) displacement field in normalized grid units.
+    def predict_flow(self, a: jax.Array, b: jax.Array):
+        """((N, H, W, 2) displacement field in normalized grid units,
+        level-wise smoothness reg).
 
         With `multiscale` (--stn_multiscale), every decoder level carries
         its own ZERO-INIT flow head; coarse heads see a smooth optimization
@@ -100,23 +101,39 @@ class UnetSTN(nn.Module):
                 if self.multiscale:
                     flows.append(flow_head(h))
         flows.append(flow_head(h))  # full-resolution head
-        # Sum heads, coarse ones bilinearly upsampled to full resolution
-        # (normalized units are resolution-invariant — no rescaling needed).
-        flow = flows[-1]
-        for f in flows[:-1]:
-            flow = flow + jax.image.resize(
-                f, (n, hh, ww, 2), method="bilinear"
+
+        # Coarse-to-fine COMPOSITION of per-level fields (round-1 found that
+        # SUMMED heads diverge in the adversarial setting: a coarse head's
+        # update shifts every finer head's operating point additively;
+        # composition instead refines the warp each level — the coarse warp
+        # is applied first, finer fields are expressed in the already-
+        # coarsely-aligned frame). Each level's field is smoothness-
+        # penalized at its OWN resolution (level-wise TV), so coarse levels
+        # pay for curvature at their scale rather than hiding it in the
+        # upsampled sum.
+        from nemar_tpu.ops.warp import compose_flows
+
+        level_reg = smoothness_loss(flows[0], self.smooth_type)
+        flow = jax.image.resize(flows[0], (n, hh, ww, 2), method="bilinear")
+        for f in flows[1:]:
+            level_reg = level_reg + smoothness_loss(f, self.smooth_type)
+            f_full = (
+                f if f.shape[1] == hh
+                else jax.image.resize(f, (n, hh, ww, 2), method="bilinear")
             )
+            # coarse-so-far applied FIRST (inner), this level refines (outer)
+            flow = compose_flows(f_full, flow, self.align_corners)
+        level_reg = level_reg / len(flows)
         flow = flow * self.flow_scale
         if self.bounded_flow > 0:
             flow = jnp.tanh(flow) * self.bounded_flow
-        return flow
+        return flow, level_reg
 
     def __call__(
         self, a: jax.Array, b: jax.Array, imgs: Sequence[jax.Array] = ()
     ) -> Tuple[Tuple[jax.Array, ...], jax.Array, dict]:
         """Returns (warped imgs, smoothness reg, aux dict with 'flow')."""
-        flow = self.predict_flow(a, b)
+        flow, level_reg = self.predict_flow(a, b)
         n, h, w, _ = flow.shape
         # Grid coordinates stay fp32 even under bf16 compute: bf16 coords
         # quantize to ~1 px at the far edge of a 256-wide image.
@@ -131,5 +148,7 @@ class UnetSTN(nn.Module):
             )
             for img in imgs
         )
-        reg = smoothness_loss(flow, self.smooth_type)
+        # multiscale: level-wise TV (each head at its own resolution);
+        # single-head: TV of the final field (identical to round 1)
+        reg = level_reg if self.multiscale else smoothness_loss(flow, self.smooth_type)
         return warped, reg, {"flow": flow, "grid": grid}

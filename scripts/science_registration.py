@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Registration-convergence science harness (VERDICT r1 item 3).
+
+Trains full adversarial NeMAR on the synthetic misaligned pairs (CPU,
+fp32) under a named intervention config and tracks flow EPE vs the known
+ground-truth warp. Goal: EPE < 1.5 px in the FULL adversarial setting.
+
+Usage: python scripts/science_registration.py CONFIG [epochs] [res]
+Writes /tmp/science_{CONFIG}.jsonl (one line per eval) + final summary.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+CONFIGS = {
+    # round-1 behavior (control)
+    "control": [],
+    # round-2 full intervention stack
+    "full": ["--stn_multiscale", "--gan_warmup_epochs", "30",
+             "--gan_ramp_epochs", "20", "--border_mask",
+             "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    "no_mask": ["--stn_multiscale", "--gan_warmup_epochs", "30",
+                "--gan_ramp_epochs", "20",
+                "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    "no_warmup": ["--stn_multiscale", "--border_mask",
+                  "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    "fake_src": ["--stn_multiscale", "--gan_warmup_epochs", "30",
+                 "--gan_ramp_epochs", "20", "--border_mask",
+                 "--stn_lr", "1e-3", "--stn_beta1", "0.9",
+                 "--stn_field_source", "fake"],
+    "no_ms": ["--gan_warmup_epochs", "30", "--gan_ramp_epochs", "20",
+              "--border_mask", "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+}
+
+
+def main():
+    cfg = sys.argv[1]
+    n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 120
+    res = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    extra = CONFIGS[cfg]
+
+    from nemar_tpu.data import create_dataset
+    from nemar_tpu.models import create_model
+    from nemar_tpu.options import TrainOptions
+    from nemar_tpu.utils import metrics as M
+
+    half = n_epochs // 2
+    opt = TrainOptions().parse([
+        "--dataroot", "__synthetic__", "--dataset_mode", "synthetic",
+        "--model", "nemar", "--stn_type", "unet", "--name", f"sci_{cfg}",
+        "--checkpoints_dir", f"/tmp/sci_{cfg}",
+        "--crop_size", str(res), "--load_size", str(res),
+        "--synthetic_size", "64", "--batch_size", "8",
+        "--n_epochs", str(n_epochs - half), "--n_epochs_decay", str(half),
+        "--stn_depth", "5", "--save_epoch_freq", "10000",
+        "--print_freq", "100000", "--display_freq", "1000000", "--no_html",
+    ] + extra)
+    dataset = create_dataset(opt)
+    model = create_model(opt)
+    model.setup(opt)
+
+    # fixed eval set with known GT warps
+    ds = dataset.dataset
+    eval_items = [ds[i] for i in range(16)]
+    ea = np.stack([it["A"] for it in eval_items])
+    eb = np.stack([it["B"] for it in eval_items])
+    gts = [M.registration_gt_flow(it["theta_gt"], res, res)
+           for it in eval_items]
+
+    out_path = f"/tmp/science_{cfg}.jsonl"
+    f = open(out_path, "w")
+
+    def evaluate(epoch):
+        model.set_input({"A": ea, "B": eb, "A_paths": ["e"] * len(ea)})
+        out = model.forward()
+        flow = np.asarray(out["flow"])
+        reg = np.asarray(out["reg_fakeB"])
+        epe = float(np.mean([M.epe_px(flow[j], gts[j], res, res)
+                             for j in range(len(gts))]))
+        epe0 = float(np.mean([M.epe_px(np.zeros_like(gts[j]), gts[j], res, res)
+                              for j in range(len(gts))]))
+        rec = {"epoch": epoch, "epe_px": round(epe, 3),
+               "epe_identity": round(epe0, 3),
+               "ncc": round(M.ncc(reg, eb), 4),
+               "l1": round(M.l1(reg, eb), 4)}
+        f.write(json.dumps(rec) + "\n")
+        f.flush()
+        print(rec, flush=True)
+        return epe
+
+    t0 = time.time()
+    for epoch in range(1, n_epochs + 1):
+        model.set_epoch(epoch)
+        for data in dataset:
+            model.set_input(data)
+            model.optimize_parameters()
+        model.update_learning_rate(epoch)
+        if epoch % 5 == 0 or epoch == n_epochs:
+            evaluate(epoch)
+    epe = evaluate(n_epochs)
+    print(json.dumps({"config": cfg, "final_epe_px": epe,
+                      "minutes": round((time.time() - t0) / 60, 1)}))
+    f.close()
+
+
+if __name__ == "__main__":
+    main()

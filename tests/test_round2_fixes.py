@@ -222,3 +222,67 @@ class TestTestTimeMissingCheckpoint:
         model = create_model(topt)
         with pytest.raises(FileNotFoundError, match="refusing"):
             model.setup(topt)
+
+
+class TestGradAccum:
+    def test_accum_matches_full_batch_losses(self, tmp_path, rng):
+        """--grad_accum N: identical losses (per-sample IN + mean losses)."""
+        opt1 = make_opt(tmp_path, ["--name", "ga1"])
+        m1 = create_model(opt1)
+        m1.setup(opt1)
+        batch = make_batch(opt1, rng)
+        m1.set_input(batch)
+        m1.optimize_parameters()
+
+        opt2 = make_opt(tmp_path, ["--name", "ga2", "--grad_accum", "4"])
+        m2 = create_model(opt2)
+        m2.setup(opt2)
+        m2.set_input(batch)
+        m2.optimize_parameters()
+
+        l1, l2 = m1.get_current_losses(), m2.get_current_losses()
+        for k in l1:
+            np.testing.assert_allclose(l1[k], l2[k], rtol=1e-4, atol=1e-5)
+        # params agree up to Adam's sign-like first step on fp-reassociated
+        # near-zero grads (update magnitude is lr)
+        p1 = jax.tree.leaves(m1.state.params_G)[0]
+        p2 = jax.tree.leaves(m2.state.params_G)[0]
+        assert float(np.abs(np.asarray(p1) - np.asarray(p2)).max()) < 3 * opt1.lr
+
+    def test_accum_with_pool_and_mask(self, tmp_path, rng):
+        opt = make_opt(tmp_path, [
+            "--grad_accum", "2", "--pool_size", "8", "--border_mask",
+        ])
+        m = create_model(opt)
+        m.setup(opt)
+        m.set_input(make_batch(opt, rng))
+        m.optimize_parameters()
+        m.optimize_parameters()
+        for k, v in m.get_current_losses().items():
+            assert np.isfinite(v), k
+        assert int(m.state.step) == 2
+
+
+class TestGanWarmup:
+    def test_warmup_zeroes_gan_weight(self, tmp_path, rng):
+        opt = make_opt(tmp_path, [
+            "--gan_warmup_epochs", "2", "--gan_ramp_epochs", "2",
+        ])
+        m = create_model(opt)
+        m.setup(opt)
+        m.set_epoch(1)
+        assert float(np.asarray(m._gan_w_scalar())) == 0.0
+        m.set_epoch(2)
+        assert float(np.asarray(m._gan_w_scalar())) == 0.0
+        m.set_epoch(3)
+        assert float(np.asarray(m._gan_w_scalar())) == 0.5
+        m.set_epoch(4)
+        assert float(np.asarray(m._gan_w_scalar())) == 1.0
+        # during warm-up the G loss excludes the GAN term
+        m.set_epoch(1)
+        m.set_input(make_batch(opt, rng))
+        m.optimize_parameters()
+        l = m.get_current_losses()
+        assert abs(
+            l["G"] - (100.0 * l["G_recon"] + 10.0 * l["G_smooth"])
+        ) < 2e-2 * max(1.0, l["G"])

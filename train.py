@@ -59,6 +59,7 @@ def main():
 
 def _train_epochs(opt, dataset, dataset_size, model, visualizer, total_iters, spe):
     for epoch in range(opt.epoch_count, opt.n_epochs + opt.n_epochs_decay + 1):
+        model.set_epoch(epoch)
         epoch_start_time = time.time()
         iter_data_time = time.time()
         epoch_iter = 0
