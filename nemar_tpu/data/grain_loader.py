@@ -44,6 +44,23 @@ class GrainDatasetLoader:
             seed=getattr(opt, "seed", 0),
         )
         self._num_workers = max(0, int(getattr(opt, "num_threads", 4)))
+        # multi-host (pod) data sharding: each host reads its disjoint slice
+        # (reference DataParallel is single-process; on a v5e-16 pod every
+        # host must feed its own chips). Defaults to jax process topology;
+        # overridable for tests.
+        shard_count = getattr(opt, "data_shard_count", -1)
+        if shard_count < 0:
+            import jax
+
+            shard_index = jax.process_index()
+            shard_count = jax.process_count()
+        else:
+            shard_index = getattr(opt, "data_shard_index", 0)
+        self._shard = (
+            grain.ShardOptions(shard_index=shard_index,
+                               shard_count=shard_count, drop_remainder=True)
+            if shard_count > 1 else grain.NoSharding()
+        )
 
     def __len__(self):
         return self.max_size
@@ -60,7 +77,7 @@ class GrainDatasetLoader:
         kwargs = dict(self._sampler_kwargs)
         kwargs["seed"] = kwargs["seed"] + self._epoch  # reshuffle each epoch
         sampler = grain.IndexSampler(
-            shard_options=grain.NoSharding(),
+            shard_options=self._shard,
             num_epochs=1,
             **kwargs,
         )

@@ -9,6 +9,12 @@ def define_stn(opt, stn_type: str):
     nc = opt.input_nc + opt.output_nc
     ac = getattr(opt, "stn_align_corners", False)
     wi = getattr(opt, "warp_impl", "auto")
+    if getattr(opt, "mesh_spatial", 1) > 1 and wi in ("auto", "pallas"):
+        # the Pallas warp kernel carries no sharding annotations; under a
+        # spatially-sharded ('data','spatial') mesh GSPMD would have to
+        # replicate it. The one-hot-matmul path is a plain einsum that GSPMD
+        # shards (halo via collectives) — route to it.
+        wi = "mm"
     if stn_type == "affine":
         return AffineSTN(
             in_channels=nc,

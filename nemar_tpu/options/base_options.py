@@ -99,6 +99,12 @@ class BaseOptions:
                             help="instance-norm implementation [xla | pallas]")
         parser.add_argument("--profile_dir", type=str, default="",
                             help="if set, write a jax.profiler trace of the hot loop here")
+        parser.add_argument("--data_shard_count", type=int, default=-1,
+                            help="multi-host data shards for --loader grain "
+                                 "(-1: jax.process_count())")
+        parser.add_argument("--data_shard_index", type=int, default=0,
+                            help="this host's shard (used when "
+                                 "--data_shard_count >= 0)")
         self.initialized = True
         return parser
 

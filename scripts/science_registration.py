@@ -47,8 +47,13 @@ CONFIGS = {
 def main():
     cfg = sys.argv[1]
     n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 120
-    res = int(sys.argv[3]) if len(sys.argv) > 3 else 128
+    res = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     extra = CONFIGS[cfg]
+    # this host is a single weak core (~0.065 TFLOP/s): shrink widths so a
+    # config finishes in minutes; the training DYNAMICS (does G absorb the
+    # geometry or does R converge) are what's under test, not capacity
+    small = ["--ngf", "32", "--ndf", "32", "--stn_ngf", "16",
+             "--stn_depth", "4", "--synthetic_size", "32"]
 
     from nemar_tpu.data import create_dataset
     from nemar_tpu.models import create_model
@@ -61,11 +66,11 @@ def main():
         "--model", "nemar", "--stn_type", "unet", "--name", f"sci_{cfg}",
         "--checkpoints_dir", f"/tmp/sci_{cfg}",
         "--crop_size", str(res), "--load_size", str(res),
-        "--synthetic_size", "64", "--batch_size", "8",
+        "--batch_size", "8",
         "--n_epochs", str(n_epochs - half), "--n_epochs_decay", str(half),
-        "--stn_depth", "5", "--save_epoch_freq", "10000",
+        "--save_epoch_freq", "10000",
         "--print_freq", "100000", "--display_freq", "1000000", "--no_html",
-    ] + extra)
+    ] + small + extra)
     dataset = create_dataset(opt)
     model = create_model(opt)
     model.setup(opt)

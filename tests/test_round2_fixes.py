@@ -286,3 +286,65 @@ class TestGanWarmup:
         assert abs(
             l["G"] - (100.0 * l["G_recon"] + 10.0 * l["G_smooth"])
         ) < 2e-2 * max(1.0, l["G"])
+
+
+class TestSpatialMeshWarpRouting:
+    def test_pallas_routes_to_mm_under_spatial_mesh(self):
+        from types import SimpleNamespace
+
+        from nemar_tpu.models.stn import define_stn
+
+        opt = SimpleNamespace(input_nc=1, output_nc=3, stn_ngf=8,
+                              stn_depth=3, mesh_spatial=2, warp_impl="pallas")
+        stn = define_stn(opt, "unet")
+        assert stn.warp_impl == "mm"
+        opt.mesh_spatial = 1
+        stn = define_stn(opt, "unet")
+        assert stn.warp_impl == "pallas"
+
+
+class TestPodReadiness:
+    def test_grain_host_sharding_disjoint_and_complete(self, tmp_path):
+        """Two simulated hosts read disjoint slices covering the dataset."""
+        from nemar_tpu.data import create_dataset
+
+        root = str(tmp_path / "ds")
+        TestWorkerSafeRNG._make_pairs(TestWorkerSafeRNG(), root, n=8)
+
+        def paths(idx, count):
+            opt = TestWorkerSafeRNG._opt(TestWorkerSafeRNG(), root)
+            opt.loader = "grain"
+            opt.num_threads = 0
+            opt.serial_batches = True
+            opt.batch_size = 1
+            opt.data_shard_count = count
+            opt.data_shard_index = idx
+            return [b["A_paths"][0] for b in create_dataset(opt)]
+
+        p0, p1 = set(paths(0, 2)), set(paths(1, 2))
+        assert p0.isdisjoint(p1)
+        assert len(p0 | p1) == 8
+
+    def test_restore_on_different_mesh(self, tmp_path, rng):
+        """Checkpoints written on a (4,2) mesh restore onto a (8,1) mesh
+        (pod-shape change across preemptions)."""
+        opt = make_opt(tmp_path, ["--num_devices", "8", "--mesh_spatial", "2"])
+        m = create_model(opt)
+        m.setup(opt)
+        m.set_input(make_batch(opt, rng))
+        m.optimize_parameters()
+        m.save_networks("latest")
+        ref = np.asarray(jax.tree.leaves(m.state.params_G)[0])
+
+        opt2 = make_opt(tmp_path, [
+            "--num_devices", "8", "--mesh_spatial", "1", "--continue_train",
+        ])
+        m2 = create_model(opt2)
+        m2.setup(opt2)
+        assert int(m2.state.step) == 1
+        np.testing.assert_allclose(
+            np.asarray(jax.tree.leaves(m2.state.params_G)[0]), ref)
+        # and it trains on the new mesh
+        m2.set_input(make_batch(opt2, rng))
+        m2.optimize_parameters()
+        assert all(np.isfinite(v) for v in m2.get_current_losses().values())
