@@ -178,19 +178,21 @@ def bench_config(n: int):
         return {"metric": "nemar_step_pairs_per_sec_b1_256", "value": round(pairs, 2),
                 "unit": "pairs/s", "vs_baseline": round(pairs / A100_REF_PAIRS_PER_SEC, 3)}
     if n == 4:
-        # 512² full loss stack, one chip (remat on); batch 32 with fallback.
+        # 512² full loss stack, one chip: batch 32 via remat + gradient
+        # accumulation (identical math — per-sample IN, mean losses);
+        # ladder down only if the shared chip's free HBM can't fit it.
         from nemar_tpu.models import create_model
         from nemar_tpu.options import TrainOptions
 
         last_err = None
-        for bsz in (32, 16):
+        for bsz, accum in ((32, 2), (32, 4), (16, 1)):
             try:
                 args = [
                     "--dataroot", "__synthetic__", "--name", "__bench512__",
                     "--model", "nemar", "--dataset_mode", "synthetic",
                     "--checkpoints_dir", "/tmp/__bench_ckpt__",
                     "--crop_size", "512", "--load_size", "512",
-                    "--batch_size", str(bsz),
+                    "--batch_size", str(bsz), "--grad_accum", str(accum),
                     "--netG", "resnet_6blocks", "--stn_type", "unet",
                     "--bf16", "--remat", "--pool_size", "0",
                 ]
@@ -215,7 +217,7 @@ def bench_config(n: int):
                         "value": round(pairs, 2),
                         "unit": "pairs/s", "vs_baseline": 1.0}
             except Exception as e:
-                log(f"512² batch {bsz} failed: {type(e).__name__}: {e}")
+                log(f"512² batch {bsz} accum {accum} failed: {type(e).__name__}: {e}")
                 last_err = e
         raise last_err
     if n == 5:

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from nemar_tpu.ops.norm import instance_norm_act
-from nemar_tpu.ops.warp import affine_grid, grid_sample
+from nemar_tpu.ops.warp import affine_grid, grid_sample_multi
 
 conv_init = nn.initializers.normal(stddev=0.02)
 
@@ -66,12 +66,12 @@ class AffineSTN(nn.Module):
         h, w = a.shape[1], a.shape[2]
         # fp32 grid even under bf16 compute (coordinate precision).
         grid = affine_grid(theta, (n, 1, h, w), self.align_corners)
-        warped = tuple(
-            grid_sample(
-                img, grid, mode="bilinear", padding_mode=self.padding_mode,
+        warped = (
+            grid_sample_multi(
+                imgs, grid, mode="bilinear", padding_mode=self.padding_mode,
                 align_corners=self.align_corners, impl=self.warp_impl,
             )
-            for img in imgs
+            if imgs else ()
         )
         # Identity regularization on the residual (SURVEY §3.1 [M]).
         reg = jnp.mean(jnp.sum(jnp.square(dtheta.reshape(n, -1)), axis=1))

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from nemar_tpu.ops.norm import instance_norm_act
-from nemar_tpu.ops.warp import identity_grid, grid_sample
+from nemar_tpu.ops.warp import grid_sample_multi, identity_grid
 
 conv_init = nn.initializers.normal(stddev=0.02)
 
@@ -141,12 +141,15 @@ class UnetSTN(nn.Module):
             identity_grid(h, w, self.align_corners, jnp.float32)[None]
             + flow.astype(jnp.float32)
         )
-        warped = tuple(
-            grid_sample(
-                img, grid, mode="bilinear", padding_mode=self.padding_mode,
+        # ONE grid_sample over the channel-concatenated images: every tensor
+        # shares the same grid, so the (identical) bilinear tap construction
+        # is paid once instead of per image.
+        warped = (
+            grid_sample_multi(
+                imgs, grid, mode="bilinear", padding_mode=self.padding_mode,
                 align_corners=self.align_corners, impl=self.warp_impl,
             )
-            for img in imgs
+            if imgs else ()
         )
         # multiscale: level-wise TV (each head at its own resolution);
         # single-head: TV of the final field (identical to round 1)

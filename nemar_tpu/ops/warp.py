@@ -409,6 +409,37 @@ def grid_sample_nchw(
 # ---------------------------------------------------------------------------
 
 
+def grid_sample_multi(
+    imgs: Sequence[jax.Array],
+    grid: jax.Array,
+    mode: str = "bilinear",
+    padding_mode: str = "zeros",
+    align_corners: bool = False,
+    impl: str = "auto",
+):
+    """Sample several images at the SAME grid in one call.
+
+    Channel-concatenates, samples once, splits back: the per-pixel bilinear
+    tap construction (the expensive part on TPU — one-hot builds dominate
+    the MXU value contraction) is shared across all images instead of paid
+    per image.
+    """
+    if len(imgs) == 1:
+        return (grid_sample(imgs[0], grid, mode=mode, padding_mode=padding_mode,
+                            align_corners=align_corners, impl=impl),)
+    sizes = [img.shape[-1] for img in imgs]
+    dt = imgs[0].dtype
+    cat = jnp.concatenate([img.astype(dt) for img in imgs], axis=-1)
+    out = grid_sample(cat, grid, mode=mode, padding_mode=padding_mode,
+                      align_corners=align_corners, impl=impl)
+    splits = []
+    acc = 0
+    for s in sizes[:-1]:
+        acc += s
+        splits.append(acc)
+    return tuple(jnp.split(out, splits, axis=-1))
+
+
 def warp_with_flow(
     img: jax.Array,
     flow: jax.Array,

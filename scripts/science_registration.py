@@ -16,10 +16,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-import jax
+if not int(os.environ.get("SCIENCE_TPU", "0")):
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import jax
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
