@@ -85,7 +85,11 @@ class BaseModel(ABC):
         self.print_networks(getattr(opt, "verbose", False))
 
     def eval(self):
-        """No train/eval module modes exist — forward is already pure."""
+        """Intentional no-op. The reference flips modules to eval mode
+        (dropout off; IN has no running stats in this template); here the
+        inference forward is a separate pure function that ALWAYS runs with
+        train=False (see each model's _forward_jit), so --eval semantics
+        hold unconditionally and there is no mutable mode to flip."""
 
     def test(self):
         """Inference forward (reference wraps in no_grad; pure fns need none)."""

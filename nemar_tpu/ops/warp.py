@@ -462,7 +462,8 @@ def warp_with_flow(
 
 
 def compose_flows(
-    flow_outer: jax.Array, flow_inner: jax.Array, align_corners: bool = False
+    flow_outer: jax.Array, flow_inner: jax.Array, align_corners: bool = False,
+    impl: str = "auto",
 ) -> jax.Array:
     """Compose two displacement fields: result ≈ outer ∘ inner.
 
@@ -472,9 +473,11 @@ def compose_flows(
     """
     n, h, w, _ = flow_outer.shape
     # Sample the inner field at the locations the outer field points to.
+    # impl='auto': the XLA gather path is a serial loop on TPU — the hot
+    # multiscale-STN path must take the MXU formulations there.
     grid = identity_grid(h, w, align_corners, flow_outer.dtype)[None] + flow_outer
     inner_at = grid_sample(
         flow_inner, grid, mode="bilinear", padding_mode="border",
-        align_corners=align_corners, impl="xla",
+        align_corners=align_corners, impl=impl,
     )
     return flow_outer + inner_at

@@ -9,22 +9,28 @@ VMEM and contracts only against a bounded row SLAB around each output tile.
 Layout (Mosaic-shaped): output pixels of a row-tile live on the LANE axis
 (P = tile_rows·W lanes); the bilinear tap one-hots are built directly in
 transposed form, so the kernel needs no in-kernel reshapes/transposes
-(Mosaic supports neither across lanes):
+(Mosaic supports neither across lanes).
+
+X-FIRST formulation (round 2; out = Σ_s Σ_w Ay[s]·slab[s,w]·Bx[w] is
+bilinear and separable, so contract the WIDE axis on the MXU and keep only
+S-sized work on the VPU — the round-1 y-first order left a C·W×P VPU
+reduction that dominated):
 
   per (sample n, row-tile t) grid step:
-    slab   = img[rowstart(n,t) : rowstart+S, :]        (VMEM ref slice,
+    slab    = img[rowstart(n,t) : rowstart+S, :]       (VMEM ref slice,
                                                         rowstart 8-aligned)
-    AyT    = y-tap one-hots  (S × P)   built from iota==floor(y) compares
-    tmpT   = slabᵀ·contract·AyT  -> (C·W × P)          (MXU, channels fused)
-    BxT    = x-tap one-hots  (W × P)
-    out_c  = Σ_w tmpT_c ⊙ BxT        (VPU sublane reduction -> (1, P))
+    BxT     = x-tap one-hots  (W × P)  built from iota==floor(x) compares
+    xslab_c = slab_c ·contract_W· BxT  -> (S × P)      (MXU, per channel)
+    AyT     = y-tap one-hots  (S × P)
+    out_c   = Σ_s AyT ⊙ xslab_c        (VPU sublane reduction over S ≪ W)
 
-  custom VJP (same tiling):
-    dslab  = AyT ·contract_P· (g ⊙ BxT)ᵀ-form           — scatter-add as a
+  custom VJP (same tiling; three MXU contractions, all VPU work S-sized
+  except the unavoidable (W,P) tap builds):
+    dslab_c = (g_c ⊙ AyT) ·contract_P· BxT             — scatter-add as a
                                                           matmul, accumulated
                                                           into the dimg plane
-    d_x    = Σ_c g_c ⊙ Σ_w (tmpT_c ⊙ dBxT)
-    d_y    = Σ_c g_c ⊙ Σ_w ((slab·AydT)_c ⊙ BxT)
+    d_x     = Σ_c g_c ⊙ Σ_s (AyT  ⊙ (slab_c·dBxT))
+    d_y     = Σ_c g_c ⊙ Σ_s (AydT ⊙ xslab_c)
 
 Exactness precondition: each output row-tile's source rows must fit in the
 S-row slab (S ≈ tile_rows + 2·max_disp_px, clamped to H). The wrapper
@@ -67,6 +73,7 @@ def _interpret() -> bool:
 
 _CONTRACT_S = (((0,), (0,)), ((), ()))  # contract dim0 with dim0
 _CONTRACT_P = (((1,), (1,)), ((), ()))  # contract dim1 with dim1
+_CONTRACT_W = (((1,), (0,)), ((), ()))  # contract dim1 with dim0 (plain @)
 # fp32 taps/slabs must not round through 1-pass bf16 on the MXU (costs the
 # 1e-3 parity bar); HIGHEST = multi-pass exact fp32.
 _PREC = jax.lax.Precision.HIGHEST
@@ -91,16 +98,6 @@ def _taps_t(coord_row, extent):
     return taps, dtaps
 
 
-def _slab_cat(img_ref, rs, c, s):
-    """(S, C*W) slab, channels concatenated along lanes (block is 1,C,H,W).
-
-    rs is 8-aligned (Mosaic requires provably sublane-aligned dynamic
-    vector loads)."""
-    rs = pl.multiple_of(rs, 8)
-    parts = [img_ref[0, ci, pl.ds(rs, s), :] for ci in range(c)]
-    return jnp.concatenate(parts, axis=1) if c > 1 else parts[0]
-
-
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
@@ -115,19 +112,18 @@ def _fwd_kernel(rowstart_ref, x_ref, y_ref, img_ref, out_ref, *, c, s, w, mxu_bf
     ylocal = yrow - rs.astype(yrow.dtype)
     ayt, _ = _taps_t(ylocal, s)        # (S, P)
     bxt, _ = _taps_t(xrow, w)          # (W, P)
-    slab = _slab_cat(img_ref, rs, c, s)  # (S, C*W)
-    if mxu_bf16:
-        slab = slab.astype(jnp.bfloat16)
-        ayt = ayt.astype(jnp.bfloat16)
-    # tmpT[cw, p] = Σ_s slab[s, cw] · AyT[s, p]
-    tmpt = jax.lax.dot_general(
-        slab, ayt, dimension_numbers=_CONTRACT_S,
-        preferred_element_type=jnp.float32,
-        precision=None if mxu_bf16 else _PREC,
-    )                                   # (C*W, P)
+    mm = jnp.bfloat16 if mxu_bf16 else jnp.float32
+    prec = None if mxu_bf16 else _PREC
+    bxt_m = bxt.astype(mm)
     for ci in range(c):
-        tc = tmpt[ci * w : (ci + 1) * w, :]
-        out_ref[0, 0, ci] = jnp.sum(tc * bxt, axis=0, keepdims=True)  # (1, P)
+        rs_al = pl.multiple_of(rs, 8)
+        slab_c = img_ref[0, ci, pl.ds(rs_al, s), :].astype(mm)  # (S, W)
+        # xslab_c[s, p] = Σ_w slab_c[s, w] · BxT[w, p]   (MXU)
+        xslab = jax.lax.dot_general(
+            slab_c, bxt_m, dimension_numbers=_CONTRACT_W,
+            preferred_element_type=jnp.float32, precision=prec,
+        )                               # (S, P)
+        out_ref[0, 0, ci] = jnp.sum(ayt * xslab, axis=0, keepdims=True)
 
 
 def _fwd_pallas(img_p, x_row, y_row, rowstart, *, s, mxu_bf16=False):
@@ -176,41 +172,35 @@ def _bwd_kernel(rowstart_ref, x_ref, y_ref, img_ref, g_ref,
     ylocal = yrow - rs.astype(yrow.dtype)
     ayt, aydt = _taps_t(ylocal, s)     # (S, P)
     bxt, bxdt = _taps_t(xrow, w)       # (W, P)
-    slab = _slab_cat(img_ref, rs, c, s)                       # (S, C*W)
     mm = jnp.bfloat16 if mxu_bf16 else jnp.float32
     prec = None if mxu_bf16 else _PREC
-    slab_m = slab.astype(mm)
-    tmpt = jax.lax.dot_general(
-        slab_m, ayt.astype(mm), dimension_numbers=_CONTRACT_S,
-        preferred_element_type=jnp.float32, precision=prec,
-    )                                   # (C*W, P)
-    tmpdt = jax.lax.dot_general(
-        slab_m, aydt.astype(mm), dimension_numbers=_CONTRACT_S,
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-
-    gs = [g_ref[0, 0, ci] for ci in range(c)]                 # each (1, P)
-
-    # dimg: dtmpT[cw, p] = g_c[p]·BxT[w, p]; dslab[s, cw] = Σ_p AyT[s,p]·dtmpT[cw,p]
-    dtmpt = (
-        jnp.concatenate([gs[ci] * bxt for ci in range(c)], axis=0)
-        if c > 1 else gs[0] * bxt
-    )                                   # (C*W, P)
-    dslab = jax.lax.dot_general(
-        ayt.astype(mm), dtmpt.astype(mm), dimension_numbers=_CONTRACT_P,
-        preferred_element_type=jnp.float32, precision=prec,
-    )                                   # (S, C*W)
+    bxt_m = bxt.astype(mm)
+    bxdt_m = bxdt.astype(mm)
     rs_al = pl.multiple_of(rs, 8)
-    for ci in range(c):
-        dimg_ref[0, ci, pl.ds(rs_al, s), :] += dslab[:, ci * w : (ci + 1) * w]
 
     dx = jnp.zeros_like(xrow)
     dy = jnp.zeros_like(yrow)
     for ci in range(c):
-        tc = tmpt[ci * w : (ci + 1) * w, :]
-        tdc = tmpdt[ci * w : (ci + 1) * w, :]
-        dx = dx + gs[ci] * jnp.sum(tc * bxdt, axis=0, keepdims=True)
-        dy = dy + gs[ci] * jnp.sum(tdc * bxt, axis=0, keepdims=True)
+        g_c = g_ref[0, 0, ci]                                  # (1, P)
+        slab_c = img_ref[0, ci, pl.ds(rs_al, s), :].astype(mm)  # (S, W)
+        # forward recompute (cheap) for dy; slab@dBxT for dx
+        xslab = jax.lax.dot_general(
+            slab_c, bxt_m, dimension_numbers=_CONTRACT_W,
+            preferred_element_type=jnp.float32, precision=prec,
+        )                               # (S, P)
+        xdslab = jax.lax.dot_general(
+            slab_c, bxdt_m, dimension_numbers=_CONTRACT_W,
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        dy = dy + g_c * jnp.sum(aydt * xslab, axis=0, keepdims=True)
+        dx = dx + g_c * jnp.sum(ayt * xdslab, axis=0, keepdims=True)
+        # dslab_c[s, w] = Σ_p (g_c[p]·AyT[s,p]) · BxT[w,p]   (MXU)
+        dxslab = (g_c * ayt).astype(mm)                        # (S, P)
+        dslab_c = jax.lax.dot_general(
+            dxslab, bxt_m, dimension_numbers=_CONTRACT_P,
+            preferred_element_type=jnp.float32, precision=prec,
+        )                               # (S, W)
+        dimg_ref[0, ci, pl.ds(rs_al, s), :] += dslab_c
     dx_ref[0, 0] = dx
     dy_ref[0, 0] = dy
 
@@ -317,7 +307,7 @@ def grid_sample_pallas(
     mode: str = "bilinear",
     padding_mode: str = "zeros",
     align_corners: bool = False,
-    max_disp_px: int = 48,
+    max_disp_px: int = 16,
     tile_rows: int = 8,
 ) -> jax.Array:
     """grid_sample with the Pallas slab kernel (exact; auto-fallback to mm).
@@ -333,9 +323,11 @@ def grid_sample_pallas(
 
     n, h, w, c = img.shape
     gh = grid.shape[1]
-    # P = th*W lanes; keep the (C*W, P) tmp under ~3 MB of VMEM.
+    # P = th*W lanes; keep the per-step VMEM (x-taps 2·W·P + S·P slabs)
+    # under ~6 MB.
     th = tile_rows
-    while th > 1 and c * w * th * w * 4 > 3 * 1024 * 1024:
+    s_est = min(h, -(-(th + 2 * max_disp_px + 8) // 8) * 8)
+    while th > 1 and (2 * w + 4 * s_est) * th * w * 4 > 6 * 1024 * 1024:
         th //= 2
     if gh % th:
         return warp_mod._grid_sample_mm(img, grid, mode, padding_mode, align_corners)

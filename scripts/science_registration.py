@@ -42,6 +42,14 @@ CONFIGS = {
                  "--stn_field_source", "fake"],
     "no_ms": ["--gan_warmup_epochs", "30", "--gan_ramp_epochs", "20",
               "--border_mask", "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # tanh-bounded field: explosion impossible by construction
+    "full_bounded": ["--stn_multiscale", "--gan_warmup_epochs", "30",
+                     "--gan_ramp_epochs", "20", "--border_mask",
+                     "--stn_lr", "1e-3", "--stn_beta1", "0.9",
+                     "--stn_bounded_flow", "0.2"],
+    # pure recon+smooth all the way (isolates the registration machinery)
+    "r_only": ["--stn_multiscale", "--lambda_GAN", "0",
+               "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
 }
 
 
@@ -98,6 +106,7 @@ def main():
                               for j in range(len(gts))]))
         rec = {"epoch": epoch, "epe_px": round(epe, 3),
                "epe_identity": round(epe0, 3),
+               "flow_px": round(float(np.mean(np.abs(flow))) * res / 2, 3),
                "ncc": round(M.ncc(reg, eb), 4),
                "l1": round(M.l1(reg, eb), 4)}
         f.write(json.dumps(rec) + "\n")
