@@ -104,6 +104,12 @@ class NEMARModel(BaseModel):
                                 help="separate Adam beta1 for the STN "
                                      "(default: --beta1; flow regression "
                                      "prefers the standard 0.9)")
+            parser.add_argument("--stn_warmup_epochs", type=int, default=0,
+                                help="epochs with R FROZEN while G learns the "
+                                     "appearance mapping: until G(a) looks "
+                                     "like modality B, the photometric flow "
+                                     "gradient is noise and Adam blows the "
+                                     "zero-init heads up (round-2 science)")
             parser.add_argument("--gan_warmup_epochs", type=int, default=0,
                                 help="epochs of pure recon+smooth before GAN "
                                      "gradients reach G (R warm-up; prevents "
@@ -168,6 +174,7 @@ class NEMARModel(BaseModel):
         self.stn_lr_ratio = 1.0 if stn_lr is None else stn_lr / base_lr
         self.gan_warmup = getattr(opt, "gan_warmup_epochs", 0)
         self.gan_ramp = getattr(opt, "gan_ramp_epochs", 0)
+        self.stn_warmup = getattr(opt, "stn_warmup_epochs", 0)
         self.border_mask = getattr(opt, "border_mask", False)
         self.grad_accum = max(1, getattr(opt, "grad_accum", 1))
         if self.isTrain and opt.batch_size % self.grad_accum:
@@ -357,7 +364,7 @@ class NEMARModel(BaseModel):
         )
         return total, (l_gan, l_recon, l_smooth)
 
-    def _train_step_impl(self, state: NemarState, a, b, lr, gan_w):
+    def _train_step_impl(self, state: NemarState, a, b, lr, gan_w, r_gate):
         """One reference optimize_parameters() (SURVEY §4.2), one XLA program.
 
         The forward (2 G passes + STN + warps, ~76 GFLOP/pair of the step's
@@ -372,7 +379,7 @@ class NEMARModel(BaseModel):
         1/N activation memory).
         """
         if self.grad_accum > 1:
-            return self._train_step_accum(state, a, b, lr, gan_w)
+            return self._train_step_accum(state, a, b, lr, gan_w, r_gate)
         rng, r_pool, r_gp = jax.random.split(state.rng, 3)
         pgr = {"G": state.params_G, "R": state.params_R}
 
@@ -401,6 +408,9 @@ class NEMARModel(BaseModel):
             lambda o: self._head_loss(o, b, params_D, gan_w), has_aux=True
         )(out)
         (grads_G,) = fwd_vjp(dout)
+        # R freeze (--stn_warmup_epochs): zeroed grads also keep the Adam
+        # moments at zero, so unfreezing starts from a clean optimizer
+        grads_G["R"] = jax.tree.map(lambda g: g * r_gate, grads_G["R"])
         upd_GG, opt_gG = self.tx.update(grads_G["G"], state.opt_G["G"], pgr["G"])
         upd_GR, opt_gR = self.tx_R.update(grads_G["R"], state.opt_G["R"], pgr["R"])
         opt_G = {"G": opt_gG, "R": opt_gR}
@@ -427,7 +437,7 @@ class NEMARModel(BaseModel):
         }
         return new_state, metrics
 
-    def _train_step_accum(self, state: NemarState, a, b, lr, gan_w):
+    def _train_step_accum(self, state: NemarState, a, b, lr, gan_w, r_gate):
         """Gradient-accumulated step: scan over --grad_accum microbatches.
 
         Identical math to the full-batch step (instance norm is per-sample;
@@ -489,6 +499,7 @@ class NEMARModel(BaseModel):
             g_body, (zeros_like(pgr), jnp.zeros((4,))), (am, bm)
         )
         gG = jax.tree.map(lambda x: x / k, gG)
+        gG["R"] = jax.tree.map(lambda g: g * r_gate, gG["R"])
         loss_G, l_gan, l_rec, l_sm = (lG / k)[0], (lG / k)[1], (lG / k)[2], (lG / k)[3]
         upd_GG, opt_gG = self.tx.update(gG["G"], state.opt_G["G"], pgr["G"])
         upd_GR, opt_gR = self.tx_R.update(gG["R"], state.opt_G["R"], pgr["R"])
@@ -514,11 +525,11 @@ class NEMARModel(BaseModel):
         }
         return new_state, metrics
 
-    def _train_scan_impl(self, state: NemarState, a_stack, b_stack, lr, gan_w):
+    def _train_scan_impl(self, state: NemarState, a_stack, b_stack, lr, gan_w, r_gate):
         """--steps_per_execution fused steps in one dispatch (lax.scan)."""
 
         def body(st, ab):
-            return self._train_step_impl(st, ab[0], ab[1], lr, gan_w)
+            return self._train_step_impl(st, ab[0], ab[1], lr, gan_w, r_gate)
 
         state, ms = jax.lax.scan(body, state, (a_stack, b_stack))
         # report the mean over the fused steps (last-step-only hid all but
@@ -558,10 +569,16 @@ class NEMARModel(BaseModel):
             w = 1.0
         return jax.device_put(np.float32(w))
 
+    def _r_gate_scalar(self):
+        epoch = getattr(self, "_cur_epoch", getattr(self.opt, "epoch_count", 1))
+        w = 0.0 if (self.isTrain and epoch <= self.stn_warmup) else 1.0
+        return jax.device_put(np.float32(w))
+
     def optimize_parameters(self):
         lr = self._lr_scalar()
         self.state, metrics = self._train_step(
-            self.state, self.real_A, self.real_B, lr, self._gan_w_scalar()
+            self.state, self.real_A, self.real_B, lr, self._gan_w_scalar(),
+            self._r_gate_scalar(),
         )
         self._losses = metrics
 
@@ -581,7 +598,7 @@ class NEMARModel(BaseModel):
         b = jax.device_put(b, sd)
         lr = self._lr_scalar()
         self.state, metrics = self._train_scan(
-            self.state, a, b, lr, self._gan_w_scalar()
+            self.state, a, b, lr, self._gan_w_scalar(), self._r_gate_scalar()
         )
         self._losses = metrics
         self.image_paths = batches[-1].get("A_paths", [])

@@ -50,6 +50,22 @@ CONFIGS = {
     # pure recon+smooth all the way (isolates the registration machinery)
     "r_only": ["--stn_multiscale", "--lambda_GAN", "0",
                "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # STAGED (round-2 second iteration): freeze R while G learns the
+    # appearance map — before that, the photometric flow gradient is noise
+    # (measured: heads explode to 50+ px within 20 steps)
+    "staged": ["--stn_warmup_epochs", "20", "--gan_warmup_epochs", "60",
+               "--gan_ramp_epochs", "20", "--border_mask", "--stn_multiscale",
+               "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    "staged_no_ms": ["--stn_warmup_epochs", "20", "--gan_warmup_epochs", "60",
+                     "--gan_ramp_epochs", "20", "--border_mask",
+                     "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    "staged_bounded": ["--stn_warmup_epochs", "20", "--gan_warmup_epochs", "60",
+                       "--gan_ramp_epochs", "20", "--border_mask",
+                       "--stn_multiscale", "--stn_bounded_flow", "0.2",
+                       "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    "staged_low_lr": ["--stn_warmup_epochs", "20", "--gan_warmup_epochs", "60",
+                      "--gan_ramp_epochs", "20", "--border_mask",
+                      "--stn_multiscale"],
 }
 
 
