@@ -207,7 +207,8 @@ class NEMARModel(BaseModel):
         kG, kD, kR, kS = jax.random.split(k, 4)
         params_G = self.netG.init(kG, a0)
         params_D = self.netD.init(kD, b0)
-        params_R = self.netR.init(kR, a0, b0, ())
+        r_src0 = b0 if self.field_source == "fake" else a0
+        params_R = self.netR.init(kR, r_src0, b0, ())
         opt_G = {"G": self.tx.init(params_G), "R": self.tx_R.init(params_R)}
         opt_D = self.tx.init(params_D)
         pool = (

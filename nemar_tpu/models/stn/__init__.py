@@ -6,7 +6,14 @@ from nemar_tpu.models.stn.unet_stn import UnetSTN
 
 def define_stn(opt, stn_type: str):
     """Dispatch affine vs unet STN from option flags (reference define_stn)."""
-    nc = opt.input_nc + opt.output_nc
+    # φ's input pair: (real_A, real_B) by default; (fake_B, real_B) with
+    # --stn_field_source fake (both modality-B-shaped then)
+    src_nc = (
+        opt.output_nc
+        if getattr(opt, "stn_field_source", "pair") == "fake"
+        else opt.input_nc
+    )
+    nc = src_nc + opt.output_nc
     ac = getattr(opt, "stn_align_corners", False)
     wi = getattr(opt, "warp_impl", "auto")
     if getattr(opt, "mesh_spatial", 1) > 1 and wi in ("auto", "pallas"):

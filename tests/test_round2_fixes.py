@@ -348,3 +348,16 @@ class TestPodReadiness:
         m2.set_input(make_batch(opt2, rng))
         m2.optimize_parameters()
         assert all(np.isfinite(v) for v in m2.get_current_losses().values())
+
+
+class TestFieldSourceFake:
+    def test_fake_source_trains(self, tmp_path, rng):
+        """--stn_field_source fake: STN sized for (fake_B, real_B) inputs
+        (round-2 bugfix: crashed with a Conv shape error)."""
+        opt = make_opt(tmp_path, ["--stn_field_source", "fake"])
+        m = create_model(opt)
+        m.setup(opt)
+        m.set_input(make_batch(opt, rng))
+        m.optimize_parameters()
+        for k, v in m.get_current_losses().items():
+            assert np.isfinite(v), k
