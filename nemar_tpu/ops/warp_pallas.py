@@ -115,14 +115,18 @@ def _fwd_kernel(rowstart_ref, x_ref, y_ref, img_ref, out_ref, *, c, s, w, mxu_bf
     mm = jnp.bfloat16 if mxu_bf16 else jnp.float32
     prec = None if mxu_bf16 else _PREC
     bxt_m = bxt.astype(mm)
+    rs_al = pl.multiple_of(rs, 8)
+    # channel slabs stacked along sublanes: the matmul's M dim becomes C·S
+    # (e.g. 3·48=144) instead of S — fills the MXU's 128 systolic rows
+    slab_all = jnp.concatenate(
+        [img_ref[0, ci, pl.ds(rs_al, s), :] for ci in range(c)], axis=0
+    ).astype(mm)                        # (C·S, W)
+    xslab_all = jax.lax.dot_general(
+        slab_all, bxt_m, dimension_numbers=_CONTRACT_W,
+        preferred_element_type=jnp.float32, precision=prec,
+    )                                   # (C·S, P)
     for ci in range(c):
-        rs_al = pl.multiple_of(rs, 8)
-        slab_c = img_ref[0, ci, pl.ds(rs_al, s), :].astype(mm)  # (S, W)
-        # xslab_c[s, p] = Σ_w slab_c[s, w] · BxT[w, p]   (MXU)
-        xslab = jax.lax.dot_general(
-            slab_c, bxt_m, dimension_numbers=_CONTRACT_W,
-            preferred_element_type=jnp.float32, precision=prec,
-        )                               # (S, P)
+        xslab = xslab_all[ci * s : (ci + 1) * s, :]
         out_ref[0, 0, ci] = jnp.sum(ayt * xslab, axis=0, keepdims=True)
 
 
@@ -178,31 +182,40 @@ def _bwd_kernel(rowstart_ref, x_ref, y_ref, img_ref, g_ref,
     bxdt_m = bxdt.astype(mm)
     rs_al = pl.multiple_of(rs, 8)
 
+    # channel-stacked slabs: M = C·S fills the MXU rows (see fwd kernel)
+    slab_all = jnp.concatenate(
+        [img_ref[0, ci, pl.ds(rs_al, s), :] for ci in range(c)], axis=0
+    ).astype(mm)                        # (C·S, W)
+    xslab_all = jax.lax.dot_general(
+        slab_all, bxt_m, dimension_numbers=_CONTRACT_W,
+        preferred_element_type=jnp.float32, precision=prec,
+    )                                   # (C·S, P)
+    xdslab_all = jax.lax.dot_general(
+        slab_all, bxdt_m, dimension_numbers=_CONTRACT_W,
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+
+    gs = [g_ref[0, 0, ci] for ci in range(c)]                  # each (1, P)
     dx = jnp.zeros_like(xrow)
     dy = jnp.zeros_like(yrow)
     for ci in range(c):
-        g_c = g_ref[0, 0, ci]                                  # (1, P)
-        slab_c = img_ref[0, ci, pl.ds(rs_al, s), :].astype(mm)  # (S, W)
-        # forward recompute (cheap) for dy; slab@dBxT for dx
-        xslab = jax.lax.dot_general(
-            slab_c, bxt_m, dimension_numbers=_CONTRACT_W,
-            preferred_element_type=jnp.float32, precision=prec,
-        )                               # (S, P)
-        xdslab = jax.lax.dot_general(
-            slab_c, bxdt_m, dimension_numbers=_CONTRACT_W,
-            preferred_element_type=jnp.float32, precision=prec,
-        )
-        dy = dy + g_c * jnp.sum(aydt * xslab, axis=0, keepdims=True)
-        dx = dx + g_c * jnp.sum(ayt * xdslab, axis=0, keepdims=True)
-        # dslab_c[s, w] = Σ_p (g_c[p]·AyT[s,p]) · BxT[w,p]   (MXU)
-        dxslab = (g_c * ayt).astype(mm)                        # (S, P)
-        dslab_c = jax.lax.dot_general(
-            dxslab, bxt_m, dimension_numbers=_CONTRACT_P,
-            preferred_element_type=jnp.float32, precision=prec,
-        )                               # (S, W)
-        dimg_ref[0, ci, pl.ds(rs_al, s), :] += dslab_c
+        xslab = xslab_all[ci * s : (ci + 1) * s, :]
+        xdslab = xdslab_all[ci * s : (ci + 1) * s, :]
+        dy = dy + gs[ci] * jnp.sum(aydt * xslab, axis=0, keepdims=True)
+        dx = dx + gs[ci] * jnp.sum(ayt * xdslab, axis=0, keepdims=True)
     dx_ref[0, 0] = dx
     dy_ref[0, 0] = dy
+
+    # dslab[cs, w] = Σ_p (g_c[p]·AyT[s,p]) · BxT[w,p]   (one MXU call)
+    dxslab_all = jnp.concatenate(
+        [gs[ci] * ayt for ci in range(c)], axis=0
+    ).astype(mm)                        # (C·S, P)
+    dslab_all = jax.lax.dot_general(
+        dxslab_all, bxt_m, dimension_numbers=_CONTRACT_P,
+        preferred_element_type=jnp.float32, precision=prec,
+    )                                   # (C·S, W)
+    for ci in range(c):
+        dimg_ref[0, ci, pl.ds(rs_al, s), :] += dslab_all[ci * s : (ci + 1) * s, :]
 
 
 def _bwd_pallas(img_p, x_row, y_row, rowstart, g, *, s, mxu_bf16=False):
