@@ -86,6 +86,10 @@ class NEMARModel(BaseModel):
                                  "(real_A,real_B) vs (fake_B,real_B); SURVEY §8.4(b)")
         parser.add_argument("--stn_align_corners", action="store_true",
                             help="align_corners=True warp semantics (SURVEY §8.4(a))")
+        parser.add_argument("--stn_level_scale", type=float, default=1.0,
+                            help="damping multiplier on each multiscale "
+                                 "head's residual field (0.25 keeps early "
+                                 "fields sub-pixel)")
         parser.add_argument("--stn_multiscale", action="store_true",
                             help="coarse-to-fine flow heads at every decoder "
                                  "level (helps pure-registration convergence; "
@@ -104,6 +108,13 @@ class NEMARModel(BaseModel):
                                 help="separate Adam beta1 for the STN "
                                      "(default: --beta1; flow regression "
                                      "prefers the standard 0.9)")
+            parser.add_argument("--stn_ramp_epochs", type=int, default=0,
+                                help="linearly ramp R's effective lr from 0 "
+                                     "over this many epochs after the "
+                                     "warm-up (tames Adam's scale-free "
+                                     "first steps on the zero-init heads)")
+            parser.add_argument("--stn_grad_clip", type=float, default=0.0,
+                                help=">0: clip R's gradient global norm")
             parser.add_argument("--stn_warmup_epochs", type=int, default=0,
                                 help="epochs with R FROZEN while G learns the "
                                      "appearance mapping: until G(a) looks "
@@ -175,6 +186,8 @@ class NEMARModel(BaseModel):
         self.gan_warmup = getattr(opt, "gan_warmup_epochs", 0)
         self.gan_ramp = getattr(opt, "gan_ramp_epochs", 0)
         self.stn_warmup = getattr(opt, "stn_warmup_epochs", 0)
+        self.stn_ramp = getattr(opt, "stn_ramp_epochs", 0)
+        self.stn_grad_clip = getattr(opt, "stn_grad_clip", 0.0)
         self.border_mask = getattr(opt, "border_mask", False)
         self.grad_accum = max(1, getattr(opt, "grad_accum", 1))
         if self.isTrain and opt.batch_size % self.grad_accum:
@@ -334,6 +347,16 @@ class NEMARModel(BaseModel):
     def _apply_updates(self, params, updates, lr):
         return jax.tree.map(lambda p, u: p - lr * u, params, updates)
 
+    def _clip_r(self, grads_R):
+        """--stn_grad_clip: bound R's gradient global norm (the zero-init
+        flow heads are one bad batch away from a field blow-up)."""
+        c = self.stn_grad_clip
+        if c <= 0:
+            return grads_R
+        gnorm = optax.global_norm(grads_R)
+        scale = jnp.minimum(1.0, c / jnp.maximum(gnorm, 1e-12))
+        return jax.tree.map(lambda g: g * scale, grads_R)
+
     def _loss_inputs(self, out):
         """The forward outputs the G+R loss actually consumes."""
         keep = {"reg_fakeB": out["reg_fakeB"], "fake_B2": out["fake_B2"],
@@ -411,7 +434,9 @@ class NEMARModel(BaseModel):
         (grads_G,) = fwd_vjp(dout)
         # R freeze (--stn_warmup_epochs): zeroed grads also keep the Adam
         # moments at zero, so unfreezing starts from a clean optimizer
-        grads_G["R"] = jax.tree.map(lambda g: g * r_gate, grads_G["R"])
+        grads_G["R"] = jax.tree.map(
+            lambda g: g * r_gate, self._clip_r(grads_G["R"])
+        )
         upd_GG, opt_gG = self.tx.update(grads_G["G"], state.opt_G["G"], pgr["G"])
         upd_GR, opt_gR = self.tx_R.update(grads_G["R"], state.opt_G["R"], pgr["R"])
         opt_G = {"G": opt_gG, "R": opt_gR}
@@ -500,7 +525,7 @@ class NEMARModel(BaseModel):
             g_body, (zeros_like(pgr), jnp.zeros((4,))), (am, bm)
         )
         gG = jax.tree.map(lambda x: x / k, gG)
-        gG["R"] = jax.tree.map(lambda g: g * r_gate, gG["R"])
+        gG["R"] = jax.tree.map(lambda g: g * r_gate, self._clip_r(gG["R"]))
         loss_G, l_gan, l_rec, l_sm = (lG / k)[0], (lG / k)[1], (lG / k)[2], (lG / k)[3]
         upd_GG, opt_gG = self.tx.update(gG["G"], state.opt_G["G"], pgr["G"])
         upd_GR, opt_gR = self.tx_R.update(gG["R"], state.opt_G["R"], pgr["R"])
@@ -572,7 +597,14 @@ class NEMARModel(BaseModel):
 
     def _r_gate_scalar(self):
         epoch = getattr(self, "_cur_epoch", getattr(self.opt, "epoch_count", 1))
-        w = 0.0 if (self.isTrain and epoch <= self.stn_warmup) else 1.0
+        if not self.isTrain:
+            w = 1.0
+        elif epoch <= self.stn_warmup:
+            w = 0.0
+        elif self.stn_ramp > 0:
+            w = min(1.0, (epoch - self.stn_warmup) / float(self.stn_ramp))
+        else:
+            w = 1.0
         return jax.device_put(np.float32(w))
 
     def optimize_parameters(self):

@@ -42,6 +42,7 @@ def define_stn(opt, stn_type: str):
             align_corners=ac,
             warp_impl=wi,
             multiscale=getattr(opt, "stn_multiscale", False),
+            level_scale=getattr(opt, "stn_level_scale", 1.0),
         )
     raise NotImplementedError(f"stn type {stn_type!r}")
 

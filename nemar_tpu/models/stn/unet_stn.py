@@ -50,6 +50,7 @@ class UnetSTN(nn.Module):
     warp_impl: str = "auto"
     bounded_flow: float = 0.0  # >0: tanh-bound the field (normalized units)
     multiscale: bool = False  # coarse-to-fine flow heads at each decoder level
+    level_scale: float = 1.0  # damping on each head's residual field
 
     @nn.compact
     def predict_flow(self, a: jax.Array, b: jax.Array):
@@ -77,7 +78,11 @@ class UnetSTN(nn.Module):
             skips.append(h)
 
         def flow_head(feat):
-            return nn.Conv(
+            # level_scale damps each residual field: Adam's scale-free first
+            # steps move zero-init head weights by ~lr per step, which in
+            # composed multiscale heads compounds to tens of px within an
+            # epoch (round-2 science); damping keeps early fields sub-pixel.
+            return self.level_scale * nn.Conv(
                 2, (3, 3), padding=((1, 1), (1, 1)),
                 kernel_init=nn.initializers.zeros,
                 bias_init=nn.initializers.zeros,

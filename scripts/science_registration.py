@@ -66,6 +66,23 @@ CONFIGS = {
     "staged_low_lr": ["--stn_warmup_epochs", "20", "--gan_warmup_epochs", "60",
                       "--gan_ramp_epochs", "20", "--border_mask",
                       "--stn_multiscale"],
+    # v2: damped multiscale heads + R lr ramp + grad clip (the undamped
+    # composed heads explode within 16 steps of unfreezing at lr 1e-3)
+    "v2_damped": ["--stn_warmup_epochs", "20", "--gan_warmup_epochs", "60",
+                  "--gan_ramp_epochs", "20", "--border_mask",
+                  "--stn_multiscale", "--stn_level_scale", "0.25",
+                  "--stn_ramp_epochs", "10", "--stn_grad_clip", "1.0",
+                  "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    "v2_damped_lowlr": ["--stn_warmup_epochs", "20", "--gan_warmup_epochs", "60",
+                        "--gan_ramp_epochs", "20", "--border_mask",
+                        "--stn_multiscale", "--stn_level_scale", "0.25",
+                        "--stn_ramp_epochs", "10", "--stn_grad_clip", "1.0",
+                        "--stn_beta1", "0.9"],
+    "v2_heavy_damp": ["--stn_warmup_epochs", "20", "--gan_warmup_epochs", "60",
+                      "--gan_ramp_epochs", "20", "--border_mask",
+                      "--stn_multiscale", "--stn_level_scale", "0.1",
+                      "--stn_ramp_epochs", "20", "--stn_grad_clip", "0.5",
+                      "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
 }
 
 
