@@ -77,6 +77,30 @@ def shard_batch(mesh: Mesh, batch: dict, shard_spatial: bool = False) -> dict:
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    Works on multi-PROCESS meshes too: device_put rejects shardings with
+    non-addressable devices, so there every process contributes its full
+    local copy via make_array_from_process_local_data (all processes build
+    identical state — same seed).
+    """
     sd = replicated_sharding(mesh)
+    multiprocess = any(
+        d.process_index != jax.process_index() for d in mesh.devices.flat
+    )
+    if multiprocess:
+        def mk(x):
+            if jax.dtypes.issubdtype(
+                getattr(x, "dtype", None), jax.dtypes.prng_key
+            ):
+                data = jax.random.key_data(x)
+                arr = jax.make_array_from_process_local_data(
+                    sd, np.asarray(data), data.shape
+                )
+                return jax.random.wrap_key_data(arr, impl=jax.random.key_impl(x))
+            return jax.make_array_from_process_local_data(
+                sd, np.asarray(x), np.shape(x)
+            )
+
+        return jax.tree.map(mk, tree)
     return jax.device_put(tree, sd)

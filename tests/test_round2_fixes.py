@@ -361,3 +361,21 @@ class TestFieldSourceFake:
         m.optimize_parameters()
         for k, v in m.get_current_losses().items():
             assert np.isfinite(v), k
+
+
+class TestMultiProcess:
+    def test_two_host_smoke(self):
+        """2 processes x 4 CPU devices: jax.distributed + global mesh +
+        per-host batch shards run one NeMAR step (pod pattern)."""
+        import subprocess
+        import sys
+
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS")}
+        r = subprocess.run(
+            [sys.executable, "scripts/multiprocess_smoke.py"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env, capture_output=True, text=True, timeout=840,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        assert "multiprocess smoke: OK" in r.stdout
