@@ -34,6 +34,16 @@ class SyntheticDataset(BaseDataset):
         parser.add_argument("--synthetic_same_appearance", action="store_true",
                             help="A and B share the appearance mapping (pure "
                                  "registration task; isolates the STN)")
+        parser.add_argument("--synthetic_pad_crop", action="store_true",
+                            help="render on a padded canvas and center-crop, "
+                                 "so A has NO zero-fill borders: border "
+                                 "widths otherwise leak the misalignment to "
+                                 "the generator, which then aligns from the "
+                                 "border cue and the joint optimum drives "
+                                 "the STN's field to zero (round-2 science); "
+                                 "real multimodal data has no such cue. The "
+                                 "center crop preserves the center-origin GT "
+                                 "affine exactly.")
         parser.set_defaults(dataroot="__synthetic__", preprocess="none",
                             load_size=256)
         return parser
@@ -44,6 +54,7 @@ class SyntheticDataset(BaseDataset):
         self.res = opt.crop_size
         self.misalign = getattr(opt, "synthetic_misalign", 0.05)
         self.same_appearance = getattr(opt, "synthetic_same_appearance", False)
+        self.pad_crop = getattr(opt, "synthetic_pad_crop", False)
         self.input_nc = opt.input_nc
         self.output_nc = opt.output_nc
         self.seed = getattr(opt, "seed", 0)
@@ -51,7 +62,7 @@ class SyntheticDataset(BaseDataset):
     def __len__(self):
         return self.size
 
-    def _scene(self, rng: np.random.Generator) -> np.ndarray:
+    def _scene(self, rng: np.random.Generator, res: int) -> np.ndarray:
         """Multi-octave random field in [0, 1] at full resolution.
 
         The high-frequency octaves matter: with smooth-only content a few
@@ -59,12 +70,12 @@ class SyntheticDataset(BaseDataset):
         no gradient and the registration task degenerates (the generator
         absorbs the geometry instead).
         """
-        field = np.zeros((self.res, self.res), np.float32)
+        field = np.zeros((res, res), np.float32)
         for scale, weight in ((16, 0.5), (6, 0.3), (3, 0.2)):
-            size = max(2, self.res // scale)
+            size = max(2, res // scale)
             octave = rng.standard_normal((size, size)).astype(np.float32)
             img = Image.fromarray(octave, mode="F").resize(
-                (self.res, self.res), Image.BICUBIC
+                (res, res), Image.BICUBIC
             )
             field += weight * np.asarray(img, dtype=np.float32)
         lo, hi = field.min(), field.max()
@@ -72,24 +83,35 @@ class SyntheticDataset(BaseDataset):
 
     def __getitem__(self, index):
         rng = np.random.default_rng(self.seed * 100003 + index)
-        scene = self._scene(rng)
+        # pad_crop: render on a larger canvas and center-crop so the affine
+        # pulls REAL content (not zero fill) into view — no border cue.
+        pad = (
+            int(np.ceil(self.misalign * self.res * 2.5)) if self.pad_crop else 0
+        )
+        res_p = self.res + 2 * pad
+        scene = self._scene(rng, res_p)
 
         # modality B: appearance mapping at reference geometry
-        b = self._colorize(scene, self.output_nc, invert=True)
+        b_scene = scene[pad:pad + self.res, pad:pad + self.res] if pad else scene
+        b = self._colorize(b_scene, self.output_nc, invert=True)
 
         # modality A: different appearance, misaligned by a random affine
         m = self.misalign * self.res
         angle = rng.uniform(-self.misalign, self.misalign)  # radians
         tx, ty = rng.uniform(-m, m, size=2)
         ca, sa = np.cos(angle), np.sin(angle)
-        c = self.res / 2.0
+        c = res_p / 2.0
         # PIL affine takes the INVERSE map (output->input) coefficients.
         a_img = Image.fromarray((scene * 255).astype(np.uint8)).transform(
-            (self.res, self.res), Image.AFFINE,
+            (res_p, res_p), Image.AFFINE,
             (ca, -sa, c - ca * c + sa * c + tx, sa, ca, c - sa * c - ca * c + ty),
             resample=Image.BILINEAR, fillcolor=0,
         )
         a_scene = np.asarray(a_img, dtype=np.float32) / 255.0
+        if pad:
+            # center crop about the SAME center the affine was applied at:
+            # the center-origin GT map below is exact for the crop too.
+            a_scene = a_scene[pad:pad + self.res, pad:pad + self.res]
         a = self._colorize(a_scene, self.input_nc, invert=self.same_appearance)
 
         # center-origin inverse map M (output px -> source px) that rendered

@@ -133,6 +133,11 @@ class NEMARModel(BaseModel):
                                 help="mask the recon L1 by the warp validity "
                                      "region (out-of-view borders give false "
                                      "photometric gradients)")
+            parser.add_argument("--recon_pyramid", type=int, default=0,
+                                help=">0: add K avg-pooled octaves to the "
+                                     "recon L1 (coarse octaves give the flow "
+                                     "a wide photometric basin — px-scale "
+                                     "L1 alone is blind past ~1 px)")
             parser.add_argument("--grad_accum", type=int, default=1,
                                 help="microbatches per optimizer step; "
                                      "activation memory scales 1/N with "
@@ -189,6 +194,7 @@ class NEMARModel(BaseModel):
         self.stn_ramp = getattr(opt, "stn_ramp_epochs", 0)
         self.stn_grad_clip = getattr(opt, "stn_grad_clip", 0.0)
         self.border_mask = getattr(opt, "border_mask", False)
+        self.recon_pyramid = getattr(opt, "recon_pyramid", 0)
         self.grad_accum = max(1, getattr(opt, "grad_accum", 1))
         if self.isTrain and opt.batch_size % self.grad_accum:
             raise ValueError(
@@ -365,21 +371,33 @@ class NEMARModel(BaseModel):
             keep["mask"] = out["mask"]
         return keep
 
+    @staticmethod
+    def _pool2(x):
+        n, h, w, c = x.shape
+        return x.reshape(n, h // 2, 2, w // 2, 2, c).mean((2, 4))
+
+    def _recon_l1(self, x, y, m):
+        if m is None:
+            return jnp.mean(jnp.abs(x - y))
+        return jnp.sum(jnp.abs(x - y).mean(-1, keepdims=True) * m) / jnp.maximum(
+            jnp.sum(m), 1.0
+        )
+
     def _head_loss(self, o, b, params_D, gan_w):
         """G+R loss on forward outputs `o` against a frozen D."""
         pred = self.netD.apply(self._cast(params_D), self._cast(o["reg_fakeB"]))
         l_gan = networks.gan_loss(pred.astype(jnp.float32), True, self.gan_mode)
-        if "mask" in o:
-            m = o["mask"]  # (N, H, W, 1), stop-gradient upstream
-            denom = jnp.maximum(jnp.sum(m), 1.0)
-            l_recon = (
-                jnp.sum(jnp.abs(o["reg_fakeB"] - b).mean(-1, keepdims=True) * m)
-                + jnp.sum(jnp.abs(o["fake_B2"] - b).mean(-1, keepdims=True) * m)
-            ) / denom
-        else:
-            l_recon = jnp.mean(jnp.abs(o["reg_fakeB"] - b)) + jnp.mean(
-                jnp.abs(o["fake_B2"] - b)
-            )
+        m = o.get("mask")  # (N, H, W, 1), stop-gradient upstream (or None)
+        rf, f2, bb = o["reg_fakeB"], o["fake_B2"], b
+        l_recon = self._recon_l1(rf, bb, m) + self._recon_l1(f2, bb, m)
+        # --recon_pyramid: K extra avg-pooled octaves. Bilinear L1 only sees
+        # misalignment within ~1 px; each pooled octave doubles the capture
+        # radius of the photometric gradient that drives the flow field.
+        for _ in range(self.recon_pyramid):
+            rf, f2, bb = self._pool2(rf), self._pool2(f2), self._pool2(bb)
+            m = self._pool2(m) if m is not None else None
+            l_recon = l_recon + self._recon_l1(rf, bb, m) + self._recon_l1(f2, bb, m)
+        l_recon = l_recon / (1 + self.recon_pyramid)
         l_smooth = o["reg"]
         total = (
             gan_w * self.lambda_GAN * l_gan

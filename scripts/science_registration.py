@@ -83,6 +83,45 @@ CONFIGS = {
                       "--stn_multiscale", "--stn_level_scale", "0.1",
                       "--stn_ramp_epochs", "20", "--stn_grad_clip", "0.5",
                       "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # v3: recon pyramid (multi-octave photometric L1) — bilinear L1 alone is
+    # blind past ~1 px; pooled octaves widen the flow's capture radius
+    "v3_pyr": ["--stn_warmup_epochs", "20", "--gan_warmup_epochs", "60",
+               "--gan_ramp_epochs", "20", "--border_mask", "--recon_pyramid",
+               "3", "--stn_multiscale", "--stn_level_scale", "0.25",
+               "--stn_ramp_epochs", "10", "--stn_grad_clip", "1.0",
+               "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # pyramid WITHOUT multiscale heads (single full-res zero-init head):
+    # isolates whether the pyramid alone gives the basin the heads were for
+    "v3_pyr_no_ms": ["--stn_warmup_epochs", "20", "--gan_warmup_epochs", "60",
+                     "--gan_ramp_epochs", "20", "--border_mask",
+                     "--recon_pyramid", "3", "--stn_grad_clip", "1.0",
+                     "--stn_ramp_epochs", "10",
+                     "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # pyramid, R-only control (ceiling check for the pyramid lever)
+    "v3_pyr_r_only": ["--recon_pyramid", "3", "--lambda_GAN", "0",
+                      "--stn_multiscale", "--stn_level_scale", "0.25",
+                      "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # v4: kill the border cue (--synthetic_pad_crop). Without it the
+    # generator can read the misalignment off A's zero-fill margins, align
+    # internally, and the joint optimum drives the field to zero — real
+    # multimodal data has no such cue, so v1-v3 were fighting a dataset
+    # artifact, not the method.
+    "v4_padcrop": ["--synthetic_pad_crop", "--recon_pyramid", "3",
+                   "--stn_warmup_epochs", "20", "--gan_warmup_epochs", "60",
+                   "--gan_ramp_epochs", "20", "--border_mask",
+                   "--stn_multiscale", "--stn_level_scale", "0.25",
+                   "--stn_ramp_epochs", "10", "--stn_grad_clip", "1.0",
+                   "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # undamped heads: the pyramid supplies the smooth basin the damping was
+    # compensating for; clip alone guards the blow-up
+    "v4_light": ["--synthetic_pad_crop", "--recon_pyramid", "3",
+                 "--stn_warmup_epochs", "20", "--gan_warmup_epochs", "60",
+                 "--gan_ramp_epochs", "20", "--border_mask",
+                 "--stn_multiscale", "--stn_grad_clip", "1.0",
+                 "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    "v4_r_only": ["--synthetic_pad_crop", "--recon_pyramid", "3",
+                  "--lambda_GAN", "0", "--stn_multiscale",
+                  "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
 }
 
 
