@@ -90,6 +90,12 @@ class NEMARModel(BaseModel):
                             help="damping multiplier on each multiscale "
                                  "head's residual field (0.25 keeps early "
                                  "fields sub-pixel)")
+        parser.add_argument("--g_batch", action="store_true",
+                            help="STN-first forward with ONE batched G pass "
+                                 "at 2N (identical math; measured ~10% "
+                                 "slower on TPU because the second warp "
+                                 "re-pays tap construction — kept for "
+                                 "future kernels/hardware)")
         parser.add_argument("--stn_multiscale", action="store_true",
                             help="coarse-to-fine flow heads at every decoder "
                                  "level (helps pure-registration convergence; "
@@ -284,14 +290,36 @@ class NEMARModel(BaseModel):
         """SURVEY §4.2 forward: both warp orders from one φ."""
         cg, cr = self._cast(pg), self._cast(pr)
         ca, cb = self._cast(a), self._cast(b)
-        fake_B = self.netG.apply(cg, ca)
-        src = (ca, cb) if self.field_source == "pair" else (fake_B, cb)
         stn_apply = (
             jax.checkpoint(self.netR.apply)
             if getattr(self.opt, "remat", False) else self.netR.apply
         )
-        (reg_fakeB, warped_A), reg, aux = stn_apply(cr, src[0], src[1], (fake_B, ca))
-        fake_B2 = self.netG.apply(cg, warped_A)
+        if self.field_source == "pair" and getattr(self.opt, "g_batch", False):
+            # φ depends only on (a, b), so R runs FIRST and the two G passes
+            # — G(a) and G(warp(a, φ)) — fuse into ONE batched apply at 2N.
+            # Bit-identical math (instance norm is per-sample, no dropout),
+            # but the dominant G convs run at twice the batch with half the
+            # dispatches. The warp of fake_B moves after G (same grid).
+            from nemar_tpu.ops.warp import grid_sample
+
+            (warped_A,), reg, aux = stn_apply(cr, ca, cb, (ca,))
+            both = self.netG.apply(
+                cg, jnp.concatenate([ca, warped_A.astype(ca.dtype)], axis=0)
+            )
+            fake_B, fake_B2 = jnp.split(both, 2, axis=0)
+            reg_fakeB = grid_sample(
+                fake_B, aux["grid"].astype(jnp.float32),
+                padding_mode=self.netR.padding_mode,
+                align_corners=self.netR.align_corners,
+                impl=self.netR.warp_impl,
+            )
+        else:
+            fake_B = self.netG.apply(cg, ca)
+            src = (ca, cb) if self.field_source == "pair" else (fake_B, cb)
+            (reg_fakeB, warped_A), reg, aux = stn_apply(
+                cr, src[0], src[1], (fake_B, ca)
+            )
+            fake_B2 = self.netG.apply(cg, warped_A)
         out = {
             "fake_B": fake_B, "reg_fakeB": reg_fakeB, "warped_A": warped_A,
             "fake_B2": fake_B2, "reg": reg,
@@ -324,8 +352,12 @@ class NEMARModel(BaseModel):
 
     def _d_loss(self, pd, fake, b, rng=None):
         cd = self._cast(pd)
-        pred_real = self.netD.apply(cd, self._cast(b)).astype(jnp.float32)
-        pred_fake = self.netD.apply(cd, self._cast(fake)).astype(jnp.float32)
+        # One batched D pass over [real; fake] (PatchGAN is per-sample:
+        # instance norm + convs — identical math, half the dispatches).
+        preds = self.netD.apply(
+            cd, jnp.concatenate([self._cast(b), self._cast(fake)], axis=0)
+        ).astype(jnp.float32)
+        pred_real, pred_fake = jnp.split(preds, 2, axis=0)
         l_real = networks.gan_loss(pred_real, True, self.gan_mode)
         l_fake = networks.gan_loss(pred_fake, False, self.gan_mode)
         loss = 0.5 * (l_real + l_fake)

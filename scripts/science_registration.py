@@ -122,6 +122,41 @@ CONFIGS = {
     "v4_r_only": ["--synthetic_pad_crop", "--recon_pyramid", "3",
                   "--lambda_GAN", "0", "--stn_multiscale",
                   "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # v5: JOINT training from scratch (no GAN warm-up). The staged schedule
+    # is self-defeating: with the GAN off, G's L1-optimal answer under
+    # unknown misalignment is a BLURRED appearance map, which removes the
+    # photometric slope R needs — the field decays to zero before the GAN
+    # (the sharpening mechanism) arrives. The paper trains D/G/R jointly;
+    # with the border cue dead (pad_crop) G can no longer absorb geometry.
+    "v5_joint": ["--synthetic_pad_crop", "--recon_pyramid", "3",
+                 "--border_mask", "--stn_multiscale",
+                 "--stn_level_scale", "0.25", "--stn_ramp_epochs", "5",
+                 "--stn_grad_clip", "1.0",
+                 "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # same but R frozen for the first 5 epochs (G leaves the pure-noise
+    # regime first) and undamped heads after
+    "v5_joint_warm": ["--synthetic_pad_crop", "--recon_pyramid", "3",
+                      "--border_mask", "--stn_multiscale",
+                      "--stn_warmup_epochs", "5", "--stn_ramp_epochs", "5",
+                      "--stn_grad_clip", "1.0",
+                      "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # v6: fight MEMORIZATION. With only 32 train pairs, phi=0 plus a G that
+    # memorizes each pair's misalignment is a GLOBAL optimum of the recon
+    # loss (no border cue needed) — and evaluating on train pairs hides it.
+    # v6 runs many pairs (harness: --synthetic_size via small list) and the
+    # harness now evals on a HELD-OUT seed. Joint GAN from (almost) the
+    # start sharpens G; pyramid gives the capture radius; pad_crop kills
+    # the border cue.
+    "v6_joint": ["--synthetic_pad_crop", "--recon_pyramid", "3",
+                 "--border_mask", "--stn_multiscale",
+                 "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "5",
+                 "--stn_grad_clip", "1.0", "--stn_level_scale", "0.5",
+                 "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # generalization ceiling without the GAN (blur theory control)
+    "v6_r_only": ["--synthetic_pad_crop", "--recon_pyramid", "3",
+                  "--lambda_GAN", "0", "--stn_multiscale",
+                  "--stn_grad_clip", "1.0", "--stn_level_scale", "0.5",
+                  "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
 }
 
 
@@ -129,12 +164,13 @@ def main():
     cfg = sys.argv[1]
     n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 120
     res = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    size = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     extra = CONFIGS[cfg]
     # this host is a single weak core (~0.065 TFLOP/s): shrink widths so a
     # config finishes in minutes; the training DYNAMICS (does G absorb the
     # geometry or does R converge) are what's under test, not capacity
     small = ["--ngf", "32", "--ndf", "32", "--stn_ngf", "16",
-             "--stn_depth", "4", "--synthetic_size", "32"]
+             "--stn_depth", "4", "--synthetic_size", str(size)]
 
     from nemar_tpu.data import create_dataset
     from nemar_tpu.models import create_model
@@ -156,8 +192,16 @@ def main():
     model = create_model(opt)
     model.setup(opt)
 
-    # fixed eval set with known GT warps
-    ds = dataset.dataset
+    # fixed HELD-OUT eval set with known GT warps: a fresh seed, so the
+    # metric measures R as a registration network on unseen pairs — eval
+    # on train pairs is blind to G memorizing per-sample geometry.
+    import copy
+
+    from nemar_tpu.data.synthetic_dataset import SyntheticDataset
+
+    eval_opt = copy.deepcopy(opt)
+    eval_opt.seed = getattr(opt, "seed", 0) + 1000
+    ds = SyntheticDataset(eval_opt)
     eval_items = [ds[i] for i in range(16)]
     ea = np.stack([it["A"] for it in eval_items])
     eb = np.stack([it["B"] for it in eval_items])
