@@ -157,6 +157,22 @@ CONFIGS = {
                   "--lambda_GAN", "0", "--stn_multiscale",
                   "--stn_grad_clip", "1.0", "--stn_level_scale", "0.5",
                   "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # SAME-APPEARANCE control: G's task is ~identity, so the run isolates
+    # whether the adversarial/optimizer wrapper (not appearance learning)
+    # breaks the otherwise-converging registration (R-only direct fit:
+    # EPE 0.24-0.41 px on this content)
+    "v6_same_app": ["--synthetic_pad_crop", "--synthetic_same_appearance",
+                    "--recon_pyramid", "3", "--stn_multiscale",
+                    "--stn_grad_clip", "1.0", "--stn_level_scale", "0.5",
+                    "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "5",
+                    "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # single-head arm (no multiscale): the direct fit converged WITHOUT
+    # multiscale too; fewer moving parts in the adversarial setting
+    "v6_single": ["--synthetic_pad_crop", "--recon_pyramid", "3",
+                  "--border_mask",
+                  "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "5",
+                  "--stn_grad_clip", "1.0",
+                  "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
 }
 
 
@@ -192,43 +208,66 @@ def main():
     model = create_model(opt)
     model.setup(opt)
 
-    # fixed HELD-OUT eval set with known GT warps: a fresh seed, so the
-    # metric measures R as a registration network on unseen pairs — eval
-    # on train pairs is blind to G memorizing per-sample geometry.
+    # TWO fixed eval sets with known GT warps: TRAIN items (does training
+    # itself converge?) and a HELD-OUT seed (does R generalize as a
+    # registration network — the paper's claim). Train-pair eval alone is
+    # blind to G/R memorizing per-sample geometry.
     import copy
 
     from nemar_tpu.data.synthetic_dataset import SyntheticDataset
 
     eval_opt = copy.deepcopy(opt)
     eval_opt.seed = getattr(opt, "seed", 0) + 1000
-    ds = SyntheticDataset(eval_opt)
-    eval_items = [ds[i] for i in range(16)]
-    ea = np.stack([it["A"] for it in eval_items])
-    eb = np.stack([it["B"] for it in eval_items])
-    gts = [M.registration_gt_flow(it["theta_gt"], res, res)
-           for it in eval_items]
+    ds_ho = SyntheticDataset(eval_opt)
+    sets = {
+        "tr": [dataset.dataset[i] for i in range(16)],
+        "ho": [ds_ho[i] for i in range(16)],
+    }
+    packs = {}
+    for key, items in sets.items():
+        packs[key] = (
+            np.stack([it["A"] for it in items]),
+            np.stack([it["B"] for it in items]),
+            [M.registration_gt_flow(it["theta_gt"], res, res) for it in items],
+        )
 
     out_path = f"/tmp/science_{cfg}.jsonl"
     f = open(out_path, "w")
 
     def evaluate(epoch):
-        model.set_input({"A": ea, "B": eb, "A_paths": ["e"] * len(ea)})
-        out = model.forward()
-        flow = np.asarray(out["flow"])
-        reg = np.asarray(out["reg_fakeB"])
-        epe = float(np.mean([M.epe_px(flow[j], gts[j], res, res)
-                             for j in range(len(gts))]))
-        epe0 = float(np.mean([M.epe_px(np.zeros_like(gts[j]), gts[j], res, res)
-                              for j in range(len(gts))]))
-        rec = {"epoch": epoch, "epe_px": round(epe, 3),
-               "epe_identity": round(epe0, 3),
-               "flow_px": round(float(np.mean(np.abs(flow))) * res / 2, 3),
-               "ncc": round(M.ncc(reg, eb), 4),
-               "l1": round(M.l1(reg, eb), 4)}
+        rec = {"epoch": epoch}
+        for key, (ea, eb, gts) in packs.items():
+            model.set_input({"A": ea, "B": eb, "A_paths": ["e"] * len(ea)})
+            out = model.forward()
+            flow = np.asarray(out["flow"])
+            reg = np.asarray(out["reg_fakeB"])
+            epe = float(np.mean([M.epe_px(flow[j], gts[j], res, res)
+                                 for j in range(len(gts))]))
+            epe0 = float(np.mean([
+                M.epe_px(np.zeros_like(gts[j]), gts[j], res, res)
+                for j in range(len(gts))
+            ]))
+            # mean direction alignment: cos between per-sample mean pred
+            # and mean gt vectors (+1 aligned / -1 inverted field)
+            cos = []
+            for j in range(len(gts)):
+                pv = flow[j].mean((0, 1))
+                gv = gts[j].mean((0, 1))
+                den = np.linalg.norm(pv) * np.linalg.norm(gv)
+                if den > 1e-8:
+                    cos.append(float(pv @ gv / den))
+            rec.update({
+                f"epe_{key}": round(epe, 3),
+                f"epe0_{key}": round(epe0, 3),
+                f"flow_{key}": round(float(np.mean(np.abs(flow))) * res / 2, 3),
+                f"cos_{key}": round(float(np.mean(cos)) if cos else 0.0, 3),
+                f"ncc_{key}": round(M.ncc(reg, eb), 4),
+                f"l1_{key}": round(M.l1(reg, eb), 4),
+            })
         f.write(json.dumps(rec) + "\n")
         f.flush()
         print(rec, flush=True)
-        return epe
+        return rec["epe_ho"]
 
     t0 = time.time()
     for epoch in range(1, n_epochs + 1):
