@@ -1,0 +1,82 @@
+"""Registration-convergence CI gate (VERDICT r1 item 3, machinery level).
+
+Trains the UnetSTN by direct photometric fit on multi-octave content with
+a KNOWN affine misalignment and asserts sub-pixel EPE within a CPU-budget
+step count. This pins the full registration machinery end-to-end: flow
+prediction, grid construction, bilinear warp VJP, TV smoothness, optax
+Adam — the proven-convergent core (EPE 0.24-0.41 px in 600 steps; gate is
+looser). The full adversarial NeMAR convergence remains tracked in
+scripts/science_registration.py.
+"""
+
+import numpy as np
+import pytest
+
+
+def _octave_scene(rng, res):
+    from PIL import Image
+
+    f = np.zeros((res, res), np.float32)
+    for scale, w in ((16, 0.5), (6, 0.3), (3, 0.2)):
+        s = max(2, res // scale)
+        o = rng.standard_normal((s, s)).astype(np.float32)
+        f += w * np.asarray(
+            Image.fromarray(o, mode="F").resize((res, res), Image.BICUBIC)
+        )
+    lo, hi = f.min(), f.max()
+    return (f - lo) / max(hi - lo, 1e-6)
+
+
+@pytest.mark.parametrize("multiscale", [False, True],
+                         ids=["single_head", "multiscale"])
+def test_direct_photometric_fit_converges(multiscale):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nemar_tpu.models.stn.unet_stn import UnetSTN
+    from nemar_tpu.ops.warp import grid_sample, identity_grid
+    from nemar_tpu.utils import metrics as M
+
+    rng = np.random.default_rng(0)
+    res = 32
+    b_img = np.stack([_octave_scene(rng, res)[:, :, None] * 2 - 1
+                      for _ in range(4)])
+    theta = np.asarray([[1, 0, 3.0], [0, 1, -1.5]], np.float32)
+    gt = M.registration_gt_flow(theta, res, res)
+    # build A so that warping A by the GT flow reproduces B
+    mk = identity_grid(res, res, False, jnp.float32)[None] - jnp.asarray(gt)[None]
+    a_img = np.asarray(grid_sample(
+        jnp.asarray(b_img), jnp.tile(mk, (4, 1, 1, 1)), padding_mode="border"
+    ))
+
+    stn = UnetSTN(in_channels=2, ngf=8, depth=3, multiscale=multiscale,
+                  level_scale=1.0)
+    a, b = jnp.asarray(a_img), jnp.asarray(b_img)
+    params = stn.init(jax.random.key(0), a, b, (a,))
+    tx = optax.adam(1e-3, b1=0.9)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        (wa,), reg, aux = stn.apply(p, a, b, (a,))
+        return jnp.mean(jnp.abs(wa - b)) + 0.1 * reg, aux
+
+    vg = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def step(p, o):
+        (l, aux), g = vg(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, l, aux["flow"]
+
+    epe0 = np.mean([M.epe_px(np.zeros_like(gt), gt, res, res)] * 4)
+    for _ in range(400):
+        params, opt_state, loss, flow = step(params, opt_state)
+    flow = np.asarray(flow)
+    epe = float(np.mean([M.epe_px(flow[j], gt, res, res) for j in range(4)]))
+    assert epe < 1.0, f"EPE {epe:.2f}px (identity {epe0:.2f}px)"
+    # direction must be aligned, not merely small
+    pv = flow.mean((0, 1, 2))
+    gv = gt.mean((0, 1))
+    cos = float(pv @ gv / (np.linalg.norm(pv) * np.linalg.norm(gv) + 1e-12))
+    assert cos > 0.9, f"flow direction cos {cos:.2f}"
