@@ -34,6 +34,15 @@ class SyntheticDataset(BaseDataset):
         parser.add_argument("--synthetic_same_appearance", action="store_true",
                             help="A and B share the appearance mapping (pure "
                                  "registration task; isolates the STN)")
+        parser.add_argument("--synthetic_appearance", type=str, default="bands",
+                            help="B's appearance mapping [bands | smooth]. "
+                                 "'bands' (legacy) uses sin^2 value bands — "
+                                 "spatially oscillatory, which wrecks the "
+                                 "photometric flow landscape (oracle-G fit "
+                                 "stalls at ~2 px); 'smooth' uses distinct "
+                                 "monotone per-channel remaps (IR<->RGB-"
+                                 "like), structure-preserving and "
+                                 "registrable.")
         parser.add_argument("--synthetic_pad_crop", action="store_true",
                             help="render on a padded canvas and center-crop, "
                                  "so A has NO zero-fill borders: border "
@@ -55,6 +64,7 @@ class SyntheticDataset(BaseDataset):
         self.misalign = getattr(opt, "synthetic_misalign", 0.05)
         self.same_appearance = getattr(opt, "synthetic_same_appearance", False)
         self.pad_crop = getattr(opt, "synthetic_pad_crop", False)
+        self.appearance = getattr(opt, "synthetic_appearance", "bands")
         self.input_nc = opt.input_nc
         self.output_nc = opt.output_nc
         self.seed = getattr(opt, "seed", 0)
@@ -93,7 +103,8 @@ class SyntheticDataset(BaseDataset):
 
         # modality B: appearance mapping at reference geometry
         b_scene = scene[pad:pad + self.res, pad:pad + self.res] if pad else scene
-        b = self._colorize(b_scene, self.output_nc, invert=True)
+        b = self._colorize(b_scene, self.output_nc, invert=True,
+                           style=self.appearance)
 
         # modality A: different appearance, misaligned by a random affine
         m = self.misalign * self.res
@@ -112,7 +123,8 @@ class SyntheticDataset(BaseDataset):
             # center crop about the SAME center the affine was applied at:
             # the center-origin GT map below is exact for the crop too.
             a_scene = a_scene[pad:pad + self.res, pad:pad + self.res]
-        a = self._colorize(a_scene, self.input_nc, invert=self.same_appearance)
+        a = self._colorize(a_scene, self.input_nc, invert=self.same_appearance,
+                           style=self.appearance)
 
         # center-origin inverse map M (output px -> source px) that rendered
         # A — the ground truth for registration evaluation (utils.metrics).
@@ -128,10 +140,22 @@ class SyntheticDataset(BaseDataset):
         }
 
     @staticmethod
-    def _colorize(scene: np.ndarray, nc: int, invert: bool) -> np.ndarray:
+    def _colorize(scene: np.ndarray, nc: int, invert: bool,
+                  style: str = "bands") -> np.ndarray:
         s = 1.0 - scene if invert else scene
         if nc == 1:
             return s[:, :, None]
+        if style == "smooth":
+            # distinct MONOTONE per-channel remaps: multimodal appearance
+            # that preserves spatial structure (real IR<->RGB is close to a
+            # smooth intensity remap). The sin^2 bands below oscillate in
+            # value => oscillate in SPACE over the scene field, which
+            # destroys the photometric basin the flow needs (oracle-G fit:
+            # 1.9 px bands vs 0.3 px linear; round-2 science).
+            chans = [s, np.square(s), np.sqrt(np.clip(s, 0.0, 1.0))]
+            while len(chans) < nc:
+                chans.append(s)
+            return np.stack(chans[:nc], axis=-1)
         chans = [s]
         for k in range(1, nc):
             chans.append(np.clip(np.sin(np.pi * s * (k + 1)) ** 2, 0, 1))

@@ -173,6 +173,21 @@ CONFIGS = {
                   "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "5",
                   "--stn_grad_clip", "1.0",
                   "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # v7: smooth appearance (oracle-G fit: bands stall the flow landscape)
+    # + the RIGHT STN for the affine task. Oracle-G ceilings at 32²/0.08:
+    # affine STN 0.41 px, unet multiscale 1.19 px — both under the 1.5 px
+    # target; the remaining question is purely the adversarial wrapper.
+    "v7_affine": ["--synthetic_pad_crop", "--synthetic_appearance", "smooth",
+                  "--stn_type", "affine", "--recon_pyramid", "3",
+                  "--border_mask", "--lambda_smooth", "0.1",
+                  "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "5",
+                  "--stn_grad_clip", "1.0",
+                  "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    "v7_unet": ["--synthetic_pad_crop", "--synthetic_appearance", "smooth",
+                "--recon_pyramid", "3", "--border_mask", "--stn_multiscale",
+                "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "5",
+                "--stn_grad_clip", "1.0",
+                "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
 }
 
 
