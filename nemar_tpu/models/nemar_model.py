@@ -144,6 +144,12 @@ class NEMARModel(BaseModel):
                                      "recon L1 (coarse octaves give the flow "
                                      "a wide photometric basin — px-scale "
                                      "L1 alone is blind past ~1 px)")
+            parser.add_argument("--freeze_g", action="store_true",
+                                help="freeze G and D; only R trains "
+                                     "(registration refinement phase — "
+                                     "pair with --continue_train after a "
+                                     "joint run, or use to probe R against "
+                                     "a fixed translator)")
             parser.add_argument("--grad_accum", type=int, default=1,
                                 help="microbatches per optimizer step; "
                                      "activation memory scales 1/N with "
@@ -201,6 +207,7 @@ class NEMARModel(BaseModel):
         self.stn_grad_clip = getattr(opt, "stn_grad_clip", 0.0)
         self.border_mask = getattr(opt, "border_mask", False)
         self.recon_pyramid = getattr(opt, "recon_pyramid", 0)
+        self.freeze_g = getattr(opt, "freeze_g", False)
         self.grad_accum = max(1, getattr(opt, "grad_accum", 1))
         if self.isTrain and opt.batch_size % self.grad_accum:
             raise ValueError(
@@ -474,8 +481,11 @@ class NEMARModel(BaseModel):
         (loss_D, (l_dr, l_df)), grads_D = jax.value_and_grad(
             self._d_loss, has_aux=True
         )(state.params_D, fake_for_D, b, r_gp)
-        upd_D, opt_D = self.tx.update(grads_D, state.opt_D, state.params_D)
-        params_D = self._apply_updates(state.params_D, upd_D, lr)
+        if self.freeze_g:
+            opt_D, params_D = state.opt_D, state.params_D
+        else:
+            upd_D, opt_D = self.tx.update(grads_D, state.opt_D, state.params_D)
+            params_D = self._apply_updates(state.params_D, upd_D, lr)
 
         # ---- G+R step against the UPDATED, frozen D ------------------------
         (loss_G, (l_gan, l_rec, l_sm)), dout = jax.value_and_grad(
@@ -487,10 +497,15 @@ class NEMARModel(BaseModel):
         grads_G["R"] = jax.tree.map(
             lambda g: g * r_gate, self._clip_r(grads_G["R"])
         )
-        upd_GG, opt_gG = self.tx.update(grads_G["G"], state.opt_G["G"], pgr["G"])
         upd_GR, opt_gR = self.tx_R.update(grads_G["R"], state.opt_G["R"], pgr["R"])
+        if self.freeze_g:
+            opt_gG, params_G = state.opt_G["G"], pgr["G"]
+        else:
+            upd_GG, opt_gG = self.tx.update(
+                grads_G["G"], state.opt_G["G"], pgr["G"]
+            )
+            params_G = self._apply_updates(pgr["G"], upd_GG, lr)
         opt_G = {"G": opt_gG, "R": opt_gR}
-        params_G = self._apply_updates(pgr["G"], upd_GG, lr)
         params_R = self._apply_updates(
             pgr["R"], upd_GR, lr * self.stn_lr_ratio
         )
@@ -554,8 +569,11 @@ class NEMARModel(BaseModel):
         )
         gD = jax.tree.map(lambda x: x / k, gD)
         loss_D, l_dr, l_df = (lD / k)[0], (lD / k)[1], (lD / k)[2]
-        upd_D, opt_D = self.tx.update(gD, state.opt_D, state.params_D)
-        params_D = self._apply_updates(state.params_D, upd_D, lr)
+        if self.freeze_g:
+            opt_D, params_D = state.opt_D, state.params_D
+        else:
+            upd_D, opt_D = self.tx.update(gD, state.opt_D, state.params_D)
+            params_D = self._apply_updates(state.params_D, upd_D, lr)
 
         # ---- G+R grads over microbatches against the UPDATED D ----
         def g_loss_micro(p, ai, bi):
@@ -577,10 +595,13 @@ class NEMARModel(BaseModel):
         gG = jax.tree.map(lambda x: x / k, gG)
         gG["R"] = jax.tree.map(lambda g: g * r_gate, self._clip_r(gG["R"]))
         loss_G, l_gan, l_rec, l_sm = (lG / k)[0], (lG / k)[1], (lG / k)[2], (lG / k)[3]
-        upd_GG, opt_gG = self.tx.update(gG["G"], state.opt_G["G"], pgr["G"])
         upd_GR, opt_gR = self.tx_R.update(gG["R"], state.opt_G["R"], pgr["R"])
+        if self.freeze_g:
+            opt_gG, params_G = state.opt_G["G"], pgr["G"]
+        else:
+            upd_GG, opt_gG = self.tx.update(gG["G"], state.opt_G["G"], pgr["G"])
+            params_G = self._apply_updates(pgr["G"], upd_GG, lr)
         opt_G = {"G": opt_gG, "R": opt_gR}
-        params_G = self._apply_updates(pgr["G"], upd_GG, lr)
         params_R = self._apply_updates(pgr["R"], upd_GR, lr * self.stn_lr_ratio)
 
         ema = state.ema

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Final round-2 convergence run: v7_unet joint recipe + R-refinement.
+
+Phase 1 (joint): full adversarial NeMAR with the converging recipe —
+smooth appearance, pad-crop, recon pyramid, border mask, DAMPED multiscale
+UNet STN (level 0.25, clip 0.5), R warm-up 3 + ramp 8, stn_lr 1e-3 b1 0.9.
+Phase 2 (refine): freeze G+D (--freeze_g machinery), train R alone — in
+the joint end-game G keeps absorbing the residual photometric signal that
+R needs (the race), so the last px of alignment comes from a refinement
+phase against the frozen, now-sharp translator.
+
+Usage: python scripts/science_final.py [E1] [E1_decay] [E2]
+Writes /tmp/science_final.jsonl and saves 'latest' checkpoints.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if not int(os.environ.get("SCIENCE_TPU", "0")):
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+
+def main():
+    e1 = int(sys.argv[1]) if len(sys.argv) > 1 else 45
+    e1d = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    e2 = int(sys.argv[3]) if len(sys.argv) > 3 else 15
+    res, size = 64, 192
+
+    from nemar_tpu.data import create_dataset
+    from nemar_tpu.models import create_model
+    from nemar_tpu.options import TrainOptions
+    from nemar_tpu.utils import metrics as M
+
+    opt = TrainOptions().parse([
+        "--dataroot", "__synthetic__", "--dataset_mode", "synthetic",
+        "--model", "nemar", "--stn_type", "unet",
+        "--name", "final", "--checkpoints_dir", "/tmp/sci_final",
+        "--crop_size", str(res), "--load_size", str(res),
+        "--batch_size", "8", "--synthetic_size", str(size),
+        "--synthetic_pad_crop", "--synthetic_appearance", "smooth",
+        "--recon_pyramid", "3", "--border_mask",
+        "--stn_multiscale", "--stn_level_scale", "0.25",
+        "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
+        "--stn_grad_clip", "0.5",
+        "--stn_lr", "1e-3", "--stn_beta1", "0.9",
+        "--n_epochs", str(e1), "--n_epochs_decay", str(e1d),
+        "--save_epoch_freq", "10000", "--print_freq", "100000",
+        "--display_freq", "1000000", "--no_html",
+        "--ngf", "32", "--ndf", "32", "--stn_ngf", "16", "--stn_depth", "4",
+    ])
+    dataset = create_dataset(opt)
+    model = create_model(opt)
+    model.setup(opt)
+
+    import copy
+
+    from nemar_tpu.data.synthetic_dataset import SyntheticDataset
+
+    eval_opt = copy.deepcopy(opt)
+    eval_opt.seed = getattr(opt, "seed", 0) + 1000
+    ds_ho = SyntheticDataset(eval_opt)
+    sets = {
+        "tr": [dataset.dataset[i] for i in range(16)],
+        "ho": [ds_ho[i] for i in range(16)],
+    }
+    packs = {}
+    for key, items in sets.items():
+        packs[key] = (
+            np.stack([it["A"] for it in items]),
+            np.stack([it["B"] for it in items]),
+            [M.registration_gt_flow(it["theta_gt"], res, res) for it in items],
+        )
+
+    f = open("/tmp/science_final.jsonl", "w")
+
+    def evaluate(tag, epoch):
+        rec = {"phase": tag, "epoch": epoch}
+        for key, (ea, eb, gts) in packs.items():
+            model.set_input({"A": ea, "B": eb, "A_paths": ["e"] * len(ea)})
+            out = model.forward()
+            flow = np.asarray(out["flow"])
+            reg = np.asarray(out["reg_fakeB"])
+            epe = float(np.mean([M.epe_px(flow[j], gts[j], res, res)
+                                 for j in range(len(gts))]))
+            epe0 = float(np.mean([
+                M.epe_px(np.zeros_like(g), g, res, res) for g in gts]))
+            rec.update({
+                f"epe_{key}": round(epe, 3), f"epe0_{key}": round(epe0, 3),
+                f"flow_{key}": round(float(np.mean(np.abs(flow))) * res / 2, 3),
+                f"ncc_{key}": round(M.ncc(reg, eb), 4),
+            })
+        f.write(json.dumps(rec) + "\n")
+        f.flush()
+        print(rec, flush=True)
+        return rec["epe_ho"]
+
+    t0 = time.time()
+    for epoch in range(1, e1 + e1d + 1):
+        model.set_epoch(epoch)
+        for data in dataset:
+            model.set_input(data)
+            model.optimize_parameters()
+        model.update_learning_rate(epoch)
+        if epoch % 5 == 0 or epoch == e1 + e1d:
+            evaluate("P1_joint", epoch)
+    model.save_networks("latest")
+
+    # Phase 2: R-refinement against the frozen translator, flat lr.
+    model.freeze_g = True
+    model.stn_warmup = 0
+    model.stn_ramp = 0
+    model._train_step = __import__("jax").jit(
+        model._train_step_impl, donate_argnums=(0,)
+    )
+    for epoch in range(1, e2 + 1):
+        model.set_epoch(e1)  # flat pre-decay lr for the whole refine phase
+        for data in dataset:
+            model.set_input(data)
+            model.optimize_parameters()
+        if epoch % 3 == 0 or epoch == e2:
+            epe = evaluate("P2_refine", epoch)
+    model.save_networks("latest_refined")
+    print(json.dumps({"config": "final", "final_epe_ho_px": epe,
+                      "minutes": round((time.time() - t0) / 60, 1)}))
+    f.close()
+
+
+if __name__ == "__main__":
+    main()

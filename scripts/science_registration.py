@@ -183,10 +183,16 @@ CONFIGS = {
                   "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "5",
                   "--stn_grad_clip", "1.0",
                   "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    "v8_affine_r_only": ["--synthetic_pad_crop", "--synthetic_appearance",
+                         "smooth", "--stn_type", "affine", "--recon_pyramid",
+                         "3", "--lambda_GAN", "0", "--lambda_smooth", "0.1",
+                         "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "5",
+                         "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
     "v7_unet": ["--synthetic_pad_crop", "--synthetic_appearance", "smooth",
                 "--recon_pyramid", "3", "--border_mask", "--stn_multiscale",
-                "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "5",
-                "--stn_grad_clip", "1.0",
+                "--stn_level_scale", "0.25",
+                "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
+                "--stn_grad_clip", "0.5",
                 "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
 }
 
@@ -294,6 +300,7 @@ def main():
         if epoch % 5 == 0 or epoch == n_epochs:
             evaluate(epoch)
     epe = evaluate(n_epochs)
+    model.save_networks("latest")  # enables a --continue_train refine phase
     print(json.dumps({"config": cfg, "final_epe_px": epe,
                       "minutes": round((time.time() - t0) / 60, 1)}))
     f.close()
