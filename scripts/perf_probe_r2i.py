@@ -79,7 +79,7 @@ def main():
         log(f"compiled {name} in {time.time()-t0:.0f}s")
 
     best = {k: float("inf") for k in variants}
-    ROUNDS = 30
+    ROUNDS = 8
     for r in range(ROUNDS):
         for name, (f, args) in variants.items():
             t0 = time.time()
@@ -88,7 +88,7 @@ def main():
                 o = f(*args)
             rb(o)
             best[name] = min(best[name], (time.time() - t0) / 5)
-        if r % 10 == 9:
+        if r % 4 == 3:
             log(f"round {r}: " + " ".join(
                 f"{k}={v*1e3:.1f}ms" for k, v in best.items()))
     print(json.dumps({k: round(v * 1e3, 2) for k, v in best.items()}, indent=2))
