@@ -28,6 +28,10 @@ import time
 
 import numpy as np
 
+from nemar_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)

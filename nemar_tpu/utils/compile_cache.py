@@ -1,0 +1,40 @@
+"""Persistent XLA compilation cache.
+
+Every jitted/Pallas program pays a remote compile on the relayed TPU (1-5
+min each — CLAUDE.md); round-2's driver bench spent 520 s on compile+first
+step alone. The persistent cache makes every repeat invocation (bench runs,
+experiments, CI subprocesses) hit disk instead of the compiler.
+
+Called from every entry point (train.py, test.py, bench.py,
+__graft_entry__.py, tests/conftest.py). Safe to call more than once.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DEFAULT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".jax_cache")
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> str:
+    """Point JAX at a persistent on-disk compilation cache and return the dir.
+
+    Honors $NEMAR_COMPILE_CACHE (set to '0'/'off' to disable, or to a path
+    to relocate). The default lives inside the repo (.jax_cache, gitignored)
+    so it survives across driver rounds on this machine.
+    """
+    env = os.environ.get("NEMAR_COMPILE_CACHE", "")
+    if env.lower() in ("0", "off", "none"):
+        return ""
+    cache_dir = cache_dir or env or _DEFAULT_DIR
+    os.makedirs(cache_dir, exist_ok=True)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # The relay makes even small compiles expensive (~30-60 s round trip),
+    # so cache everything that took any measurable compile time.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    return cache_dir

@@ -10,6 +10,10 @@ gallery of visuals to {results_dir}/{name}/{phase}_{epoch}/index.html.
 
 import os
 
+from nemar_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from nemar_tpu.data import create_dataset
 from nemar_tpu.models import create_model
 from nemar_tpu.options import TestOptions

@@ -23,6 +23,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite is compile-dominated (~15 min);
+# repeat runs hit disk instead of recompiling every jitted program.
+from nemar_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

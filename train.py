@@ -14,6 +14,10 @@ pulled to host at --print_freq boundaries (avoids per-step device syncs).
 
 import time
 
+from nemar_tpu.utils.compile_cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from nemar_tpu.data import create_dataset
 from nemar_tpu.models import create_model
 from nemar_tpu.options import TrainOptions
