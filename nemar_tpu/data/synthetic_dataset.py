@@ -35,6 +35,7 @@ class SyntheticDataset(BaseDataset):
                             help="A and B share the appearance mapping (pure "
                                  "registration task; isolates the STN)")
         parser.add_argument("--synthetic_appearance", type=str, default="bands",
+                            choices=["bands", "smooth"],
                             help="B's appearance mapping [bands | smooth]. "
                                  "'bands' (legacy) uses sin^2 value bands — "
                                  "spatially oscillatory, which wrecks the "

@@ -214,6 +214,16 @@ class NEMARModel(BaseModel):
                 f"--grad_accum {self.grad_accum} must divide "
                 f"--batch_size {opt.batch_size}"
             )
+        if getattr(opt, "g_batch", False) and opt.norm == "batch":
+            # the 2N concatenated G pass would mix batch statistics between
+            # a and warped_A — only per-sample norms keep it bit-identical
+            raise ValueError("--g_batch requires --norm instance|none "
+                             "(batch norm mixes stats across the 2N pass)")
+        if self.recon_pyramid > 0 and opt.crop_size % (2 ** self.recon_pyramid):
+            raise ValueError(
+                f"--recon_pyramid {self.recon_pyramid} needs --crop_size "
+                f"divisible by {2 ** self.recon_pyramid}, got {opt.crop_size}"
+            )
         self.ema_decay = getattr(opt, "ema_decay", 0.0)
         self.use_ema = getattr(opt, "use_ema", False)
         # EMA shadows ride the per-net checkpoint layout as pseudo-nets so a
@@ -359,12 +369,20 @@ class NEMARModel(BaseModel):
 
     def _d_loss(self, pd, fake, b, rng=None):
         cd = self._cast(pd)
-        # One batched D pass over [real; fake] (PatchGAN is per-sample:
-        # instance norm + convs — identical math, half the dispatches).
-        preds = self.netD.apply(
-            cd, jnp.concatenate([self._cast(b), self._cast(fake)], axis=0)
-        ).astype(jnp.float32)
-        pred_real, pred_fake = jnp.split(preds, 2, axis=0)
+        if self.opt.norm in ("instance", "none"):
+            # One batched D pass over [real; fake] (PatchGAN is per-sample:
+            # instance norm + convs — identical math, half the dispatches).
+            preds = self.netD.apply(
+                cd, jnp.concatenate([self._cast(b), self._cast(fake)], axis=0)
+            ).astype(jnp.float32)
+            pred_real, pred_fake = jnp.split(preds, 2, axis=0)
+        else:
+            # --norm batch normalizes over the whole batch: concatenating
+            # real and fake would share their statistics (different math
+            # from the reference's two D calls, and a stats side-channel
+            # for D). Two separate passes keep the reference semantics.
+            pred_real = self.netD.apply(cd, self._cast(b)).astype(jnp.float32)
+            pred_fake = self.netD.apply(cd, self._cast(fake)).astype(jnp.float32)
         l_real = networks.gan_loss(pred_real, True, self.gan_mode)
         l_fake = networks.gan_loss(pred_fake, False, self.gan_mode)
         loss = 0.5 * (l_real + l_fake)

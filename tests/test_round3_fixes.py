@@ -1,0 +1,56 @@
+"""Round-3 regression tests: ADVICE fixes + compile cache."""
+
+import numpy as np
+import pytest
+
+from nemar_tpu.models import create_model
+from nemar_tpu.options import TrainOptions
+
+
+def _opt(extra):
+    return TrainOptions().parse([
+        "--dataroot", "__synthetic__", "--name", "__r3fix__", "--model", "nemar",
+        "--dataset_mode", "synthetic", "--checkpoints_dir", "/tmp/__r3fix__",
+        "--crop_size", "32", "--load_size", "32", "--batch_size", "2",
+        "--ngf", "8", "--ndf", "8", "--stn_ngf", "8", "--stn_depth", "3",
+    ] + extra)
+
+
+def test_g_batch_rejects_batch_norm():
+    with pytest.raises(ValueError, match="g_batch"):
+        create_model(_opt(["--g_batch", "--norm", "batch"]))
+
+
+def test_recon_pyramid_validates_crop_size():
+    with pytest.raises(ValueError, match="recon_pyramid"):
+        create_model(_opt(["--recon_pyramid", "8"]))  # 32 % 256 != 0
+
+
+def test_synthetic_appearance_choices():
+    with pytest.raises(SystemExit):
+        _opt(["--synthetic_appearance", "Smooth"])  # typo'd case must not
+        # silently fall back to the legacy oscillatory bands
+
+
+def test_batch_norm_d_step_runs():
+    """--norm batch routes _d_loss to two separate D passes and still trains."""
+    m = create_model(_opt(["--norm", "batch", "--pool_size", "0"]))
+    m.setup(m.opt)
+    rng = np.random.default_rng(0)
+    m.set_input({
+        "A": rng.standard_normal((2, 32, 32, 1), dtype=np.float32),
+        "B": rng.standard_normal((2, 32, 32, 3), dtype=np.float32),
+        "A_paths": ["x", "x"],
+    })
+    m.optimize_parameters()
+    losses = m.get_current_losses()
+    assert all(np.isfinite(v) for v in losses.values()), losses
+
+
+def test_compile_cache_enabled():
+    import jax
+
+    from nemar_tpu.utils.compile_cache import enable_compilation_cache
+
+    d = enable_compilation_cache()
+    assert d and jax.config.jax_compilation_cache_dir == d
