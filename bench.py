@@ -226,17 +226,24 @@ def bench_config(n: int):
         raise last_err
     if n == 5:
         # Pod-scale DP (v5e-16): only one physical chip is reachable from
-        # this host, so the full sharded train step (('data','spatial')
-        # mesh, real pjit shardings) is exercised on a self-provisioned
-        # 8-device virtual mesh — dryrun_multichip re-execs onto it when
-        # local devices < 8. A real pod runs the identical program.
+        # this host, so the driver's ACTUAL config shape — 16 devices,
+        # global batch 512, ('data','spatial') mesh, grain host-sharding —
+        # runs on a self-provisioned virtual mesh (dryrun_pod re-execs onto
+        # it), with an 8-device/b256 run for the per-device scaling ratio.
+        # A real pod runs the identical program. Virtual CPU devices share
+        # one host core, so the ratio measures program-shape overhead
+        # (collectives, halo exchange), not chip throughput.
         import __graft_entry__
 
-        ndev = max(8, len(jax.devices()))
         with _stdout_to_stderr():
-            __graft_entry__.dryrun_multichip(ndev)
-        return {"metric": "dp_dryrun_devices", "value": ndev,
-                "unit": "devices", "vs_baseline": 1.0}
+            r16 = __graft_entry__.dryrun_pod(16, 512, steps=3)
+            r8 = __graft_entry__.dryrun_pod(8, 256, steps=3)
+        per_dev_16 = r16["steps_per_sec"] * r16["global_batch"] / r16["devices"]
+        per_dev_8 = r8["steps_per_sec"] * r8["global_batch"] / r8["devices"]
+        log(f"16-dev: {r16}  8-dev: {r8}")
+        return {"metric": "pod_dryrun_b512_devices", "value": r16["devices"],
+                "unit": "devices",
+                "vs_baseline": round(per_dev_16 / per_dev_8, 3)}
     raise SystemExit(f"unknown config {n}")
 
 
