@@ -146,17 +146,48 @@ def bench_config(n: int):
 
     rng = np.random.default_rng(0)
     if n == 1:
-        # Affine-only STN: single 256² grayscale pair, one warp fwd (CPU-OK).
+        # Config #1 (affine-only smoke) + the BASELINE.json headline
+        # "grid-sample warp GB/s" at the PRODUCTION training shape:
+        # (32, 256, 256, 3) Pallas kernel, fwd and fwd+bwd (VERDICT r2 #5).
         from nemar_tpu.ops.warp import affine_grid, grid_sample
 
         img = jnp.asarray(rng.standard_normal((1, 256, 256, 1), dtype=np.float32))
         theta = jnp.asarray([[[0.98, 0.02, 0.01], [-0.02, 1.02, -0.01]]])
         grid = affine_grid(theta, (1, 1, 256, 256))
         f = jax.jit(lambda i, g: grid_sample(i, g))
-        dt = _timeit(f, (img, grid), label="affine warp fwd 256²")
-        gbs = (256 * 256 * (1 * 4 * 2 + 2 * 4)) / dt / 1e9
-        return {"metric": "affine_warp_fwd_GBps_256", "value": round(gbs, 2),
-                "unit": "GB/s", "vs_baseline": 1.0}
+        dt = _timeit(f, (img, grid), label="affine warp fwd 256² (b1 smoke)")
+
+        bsz, ch = 32, 3
+        imgP = jnp.asarray(
+            rng.standard_normal((bsz, 256, 256, ch), dtype=np.float32))
+        thetaP = jnp.tile(theta, (bsz, 1, 1))
+        gridP = affine_grid(thetaP, (bsz, ch, 256, 256))
+        fwd = jax.jit(lambda i, g: grid_sample(i, g, impl="pallas"))
+        dt_f = _timeit(fwd, (imgP, gridP), label="pallas warp fwd b32x3 256²")
+
+        def loss(i, g):
+            return jnp.mean(jnp.abs(grid_sample(i, g, impl="pallas")))
+
+        fb = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        dt_fb = _timeit(fb, (imgP, gridP), label="pallas warp fwd+bwd b32x3 256²")
+        # same-window mm-path ratio (the pure-XLA exact fallback)
+        fwd_mm = jax.jit(lambda i, g: grid_sample(i, g, impl="mm"))
+        dt_mm = _timeit(fwd_mm, (imgP, gridP), label="mm warp fwd b32x3 256²")
+        # bytes moved fwd: read img + grid(2ch fp32), write out
+        px = bsz * 256 * 256
+        fwd_bytes = px * (ch * 4 + 2 * 4 + ch * 4)
+        # fwd+bwd adds: read g(out-shaped), write dimg + dgrid; re-read img+grid
+        fb_bytes = fwd_bytes + px * (ch * 4 + ch * 4 + 2 * 4 + ch * 4 + 2 * 4)
+        gbs_prod = fwd_bytes / dt_f / 1e9
+        gbs_fb = fb_bytes / dt_fb / 1e9
+        log(f"pallas fwd {gbs_prod:.1f} GB/s, fwd+bwd {gbs_fb:.1f} GB/s, "
+            f"mm/pallas fwd ratio {dt_mm / dt_f:.2f}x")
+        return {"metric": "grid_sample_warp_GBps_b32_256",
+                "value": round(gbs_prod, 2), "unit": "GB/s",
+                "vs_baseline": round(dt_mm / dt_f, 2),
+                "fwd_bwd_GBps": round(gbs_fb, 2),
+                "affine_b1_GBps": round(
+                    (256 * 256 * (1 * 4 * 2 + 2 * 4)) / dt / 1e9, 2)}
     if n == 2:
         # UNet STN fwd+bwd with smoothness at 256².
         from types import SimpleNamespace

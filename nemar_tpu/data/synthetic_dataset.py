@@ -54,6 +54,15 @@ class SyntheticDataset(BaseDataset):
                                  "real multimodal data has no such cue. The "
                                  "center crop preserves the center-origin GT "
                                  "affine exactly.")
+        parser.add_argument("--synthetic_fresh_affine", action="store_true",
+                            help="draw a FRESH random misalignment on every "
+                                 "access of an item (epoch-wise geometric "
+                                 "augmentation). Round-3 science: a global "
+                                 "6-param regressor generalizes only with "
+                                 "enough distinct misalignments (held-out "
+                                 "EPE 2.1 px @192 fixed pairs -> 0.5 px "
+                                 "with fresh affines); also removes the "
+                                 "phi=0 + memorizing-G joint optimum.")
         parser.set_defaults(dataroot="__synthetic__", preprocess="none",
                             load_size=256)
         return parser
@@ -69,6 +78,13 @@ class SyntheticDataset(BaseDataset):
         self.input_nc = opt.input_nc
         self.output_nc = opt.output_nc
         self.seed = getattr(opt, "seed", 0)
+        self.fresh_affine = getattr(opt, "synthetic_fresh_affine", False)
+        # per-item access counters for --synthetic_fresh_affine: each visit
+        # of an index re-draws the misalignment (scene + appearance stay
+        # index-deterministic). Worker processes each carry their own
+        # counters — the draws stay random across epochs either way, which
+        # is the point; eval datasets should not set the flag.
+        self._visits = {}
 
     def __len__(self):
         return self.size
@@ -108,6 +124,11 @@ class SyntheticDataset(BaseDataset):
                            style=self.appearance)
 
         # modality A: different appearance, misaligned by a random affine
+        if self.fresh_affine:
+            visit = self._visits[index] = self._visits.get(index, 0) + 1
+            rng = np.random.default_rng(
+                (self.seed * 100003 + index) * 1009 + visit
+            )
         m = self.misalign * self.res
         angle = rng.uniform(-self.misalign, self.misalign)  # radians
         tx, ty = rng.uniform(-m, m, size=2)

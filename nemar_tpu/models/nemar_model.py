@@ -74,6 +74,14 @@ class NEMARModel(BaseModel):
                             help="down/up levels in the UNet STN")
         parser.add_argument("--stn_flow_scale", type=float, default=1.0,
                             help="multiplier on the predicted flow field")
+        parser.add_argument("--stn_affine_head", type=str, default="flatten",
+                            choices=["flatten", "gap"],
+                            help="affine STN head: FC over the spatial "
+                                 "feature map (reference layout; preserves "
+                                 "the phase a translation estimate needs) "
+                                 "vs global-average-pool (round-2 arch — "
+                                 "near-blind to translation without border "
+                                 "cues)")
         parser.add_argument("--stn_smooth_type", type=str, default="l1",
                             help="first-difference penalty type [l1 | l2]")
         parser.add_argument("--stn_padding_mode", type=str, default="zeros",
@@ -177,6 +185,7 @@ class NEMARModel(BaseModel):
             opt.input_nc, opt.output_nc, opt.ngf, opt.netG, opt.norm,
             not opt.no_dropout, opt.init_type, opt.init_gain, norm_impl,
             getattr(opt, "remat", False),
+            getattr(opt, "block_impl", "xla"),
         )
         self.netD = networks.define_D(
             opt.output_nc, opt.ndf, opt.netD, opt.n_layers_D, opt.norm,

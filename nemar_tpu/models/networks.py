@@ -76,16 +76,52 @@ def reflect_pad(x: jax.Array, pad: int) -> jax.Array:
 
 
 class ResnetBlock(nn.Module):
-    """Reflect-pad conv block with skip (reference ResnetBlock)."""
+    """Reflect-pad conv block with skip (reference ResnetBlock).
+
+    block_impl='pallas' routes eligible shapes (instance norm, no dropout,
+    H/W%8==0, C%128==0) to the fused Pallas kernel (ops/conv_fused.py):
+    both convs + IN stats + ReLU + skip in one VMEM-resident program.
+    Parameters are declared with the SAME tree paths/shapes as the XLA
+    branch (Conv_0/Conv_1 {kernel, bias}) so checkpoints interchange; the
+    bias is mathematically inert through IN either way.
+    """
 
     dim: int
     norm: str = "instance"
     use_dropout: bool = False
     norm_impl: str = "xla"
     kernel_init: Callable = conv_init
+    block_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        use_fused = (
+            self.block_impl == "pallas"
+            and self.norm == "instance"
+            and not self.use_dropout
+        )
+        if use_fused:
+            from nemar_tpu.ops.conv_fused import (
+                block_kernel_supported, fused_resblock,
+            )
+
+            ki = self.kernel_init
+
+            def conv_params(key, c):
+                kk, kb = jax.random.split(key)
+                return {"kernel": ki(kk, (3, 3, c, c), jnp.float32),
+                        "bias": jnp.zeros((c,), jnp.float32)}
+
+            p1 = self.param("Conv_0", conv_params, self.dim)
+            p2 = self.param("Conv_1", conv_params, self.dim)
+            w1 = p1["kernel"].astype(x.dtype)
+            w2 = p2["kernel"].astype(x.dtype)
+            if block_kernel_supported(x.shape):
+                return fused_resblock(x, w1, w2)
+            # ineligible shape: same math/params through XLA
+            from nemar_tpu.ops.conv_fused import resblock_reference
+
+            return resblock_reference(x, w1, w2)
         h = reflect_pad(x, 1)
         h = nn.Conv(self.dim, (3, 3), padding="VALID", kernel_init=self.kernel_init)(h)
         h = _norm_act(h, self.norm, "relu", self.norm_impl)
@@ -109,6 +145,7 @@ class ResnetGenerator(nn.Module):
     norm_impl: str = "xla"
     kernel_init: Callable = conv_init
     use_remat: bool = False  # jax.checkpoint each ResnetBlock (512^2 configs)
+    block_impl: str = "xla"  # 'pallas': fused trunk-block kernel
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -130,7 +167,7 @@ class ResnetGenerator(nn.Module):
         for _ in range(self.n_blocks):
             h = block_cls(
                 self.ngf * 2**self.n_downsampling, self.norm, self.use_dropout,
-                self.norm_impl, ki,
+                self.norm_impl, ki, self.block_impl,
             )(h, train)
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
@@ -271,14 +308,15 @@ def define_G(
     init_gain: float = 0.02,
     norm_impl: str = "xla",
     use_remat: bool = False,
+    block_impl: str = "xla",
 ) -> nn.Module:
     ki = _make_init(init_type, init_gain)
     if netG == "resnet_9blocks":
         return ResnetGenerator(output_nc, ngf, 9, 2, norm, use_dropout,
-                               norm_impl, ki, use_remat)
+                               norm_impl, ki, use_remat, block_impl)
     if netG == "resnet_6blocks":
         return ResnetGenerator(output_nc, ngf, 6, 2, norm, use_dropout,
-                               norm_impl, ki, use_remat)
+                               norm_impl, ki, use_remat, block_impl)
     if netG == "unet_128":
         return UnetGenerator(output_nc, 7, ngf, norm, use_dropout, norm_impl, ki)
     if netG == "unet_256":

@@ -29,6 +29,7 @@ def define_stn(opt, stn_type: str):
             padding_mode=getattr(opt, "stn_padding_mode", "zeros"),
             align_corners=ac,
             warp_impl=wi,
+            head=getattr(opt, "stn_affine_head", "flatten"),
         )
     if stn_type == "unet":
         return UnetSTN(

@@ -34,6 +34,13 @@ class AffineSTN(nn.Module):
     padding_mode: str = "zeros"
     align_corners: bool = False
     warp_impl: str = "auto"
+    # 'flatten' (default): FC over the SPATIAL feature map, the reference
+    # affine-STN layout (conv encoder -> FC -> Δθ). 'gap': global average
+    # pool first — round-2's choice, which is structurally near-blind to
+    # TRANSLATION once border cues are dead (a spatially-averaged feature
+    # vector is shift-invariant up to edge effects; round-3 science:
+    # direct-fit EPE 2.6 px gap vs 0.04 px flatten at the 2.5 px task).
+    head: str = "flatten"
 
     @nn.compact
     def predict_dtheta(self, a: jax.Array, b: jax.Array) -> jax.Array:
@@ -47,7 +54,10 @@ class AffineSTN(nn.Module):
             )(h)
             h = instance_norm_act(h, act="leaky_relu")
             ch = min(ch * 2, self.ngf * 8)
-        h = jnp.mean(h, axis=(1, 2))  # global average pool
+        if self.head == "gap":
+            h = jnp.mean(h, axis=(1, 2))  # global average pool
+        else:
+            h = h.reshape(h.shape[0], -1)  # preserve spatial phase
         h = nn.Dense(64, kernel_init=conv_init)(h)
         h = jax.nn.leaky_relu(h, 0.2)
         # Zero-init head: warp starts exactly at identity.

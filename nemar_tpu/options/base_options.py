@@ -97,6 +97,11 @@ class BaseOptions:
                             help="grid_sample implementation [auto | xla | pallas]")
         parser.add_argument("--norm_impl", type=str, default="xla",
                             help="instance-norm implementation [xla | pallas]")
+        parser.add_argument("--block_impl", type=str, default="xla",
+                            choices=["xla", "pallas"],
+                            help="ResNet trunk block implementation: 'pallas' "
+                                 "fuses conv3x3+IN+ReLU x2 + skip into one "
+                                 "VMEM-resident kernel (ops/conv_fused.py)")
         parser.add_argument("--profile_dir", type=str, default="",
                             help="if set, write a jax.profiler trace of the hot loop here")
         parser.add_argument("--data_shard_count", type=int, default=-1,

@@ -92,7 +92,9 @@ def main():
     variants["step"] = step_full
 
     # ---- G passes ----
-    pG = model.state.params_G
+    # deep-copy: model.state is DONATED by the train step; the original
+    # buffers die after the first 'step' call
+    pG = jax.tree.map(jnp.copy, model.state.params_G)
     netG = model.netG
 
     @jax.jit
@@ -122,7 +124,7 @@ def main():
                               jax.tree.leaves(state_g2["p"])[0])[1]
 
     # ---- STN fwd+bwd (with its warps) ----
-    pR = model.state.params_R
+    pR = jax.tree.map(jnp.copy, model.state.params_R)
     netR = model.netR
     fake = jnp.asarray(rng.standard_normal((B, H, W, 3), dtype=np.float32))
 
@@ -174,7 +176,7 @@ def main():
     variants["warp"] = run_warp
 
     # ---- D step ----
-    pD = model.state.params_D
+    pD = jax.tree.map(jnp.copy, model.state.params_D)
 
     @jax.jit
     def d_fb(p, fake, b):
@@ -231,6 +233,46 @@ def main():
     variants["trunk"] = lambda: (state_t.update(p=trunk_fb(state_t["p"], x64)),
                                  jax.tree.leaves(state_t["p"])[0])[1]
 
+    # ---- fused Pallas trunk (6 blocks, ops/conv_fused.py) fwd+bwd ----
+    class TrunkF(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for _ in range(6):
+                x = ResnetBlock(C, "instance", False, "xla",
+                                block_impl="pallas")(x)
+            return x
+
+    trunkf = TrunkF()
+    pTF = trunkf.init(jax.random.key(0), x64.astype(jnp.float32))
+
+    @jax.jit
+    def trunkf_fb(p, x):
+        def loss(p):
+            return jnp.mean(trunkf.apply(
+                jax.tree.map(lambda v: v.astype(bf), p), x).astype(jnp.float32))
+
+        g = jax.grad(loss)(p)
+        return jax.tree.map(lambda v, u: v - 1e-9 * u, p, g)
+
+    state_tf = {"p": pTF}
+    variants["ftrunk"] = lambda: (state_tf.update(p=trunkf_fb(state_tf["p"], x64)),
+                                  jax.tree.leaves(state_tf["p"])[0])[1]
+
+    # fused trunk fwd-only (small scalar output to avoid readback pollution)
+    @jax.jit
+    def trunkf_f(x):
+        return jnp.mean(trunkf.apply(
+            jax.tree.map(lambda v: v.astype(bf), pTF), x).astype(jnp.float32))
+
+    variants["ftrunk_fwd"] = lambda: trunkf_f(x64)
+
+    @jax.jit
+    def trunk_f(x):
+        return jnp.mean(trunk.apply(
+            jax.tree.map(lambda v: v.astype(bf), pT), x).astype(jnp.float32))
+
+    variants["trunk_fwd"] = lambda: trunk_f(x64)
+
     if args.only:
         keep = args.only.split(",")
         variants = {k: v for k, v in variants.items() if k in keep}
@@ -263,6 +305,12 @@ def main():
         res["conv1_tflops"] = round(conv_flop / best["conv1"] / 1e12, 1)
     if "trunk" in best:
         res["trunk_tflops"] = round(trunk_flop / best["trunk"] / 1e12, 1)
+    if "ftrunk" in best:
+        res["ftrunk_tflops"] = round(trunk_flop / best["ftrunk"] / 1e12, 1)
+    if "trunk_fwd" in best:
+        res["trunk_fwd_tflops"] = round(conv_flop * 12 / best["trunk_fwd"] / 1e12, 1)
+    if "ftrunk_fwd" in best:
+        res["ftrunk_fwd_tflops"] = round(conv_flop * 12 / best["ftrunk_fwd"] / 1e12, 1)
     print(json.dumps(res))
 
 

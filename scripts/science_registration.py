@@ -194,6 +194,34 @@ CONFIGS = {
                 "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
                 "--stn_grad_clip", "0.5",
                 "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # v9 (round 3): the affine arm is GENERALIZATION-starved, not broken —
+    # direct fits reach held-out 0.51 px with unlimited misalignment draws
+    # vs 2.1 px at 192 fixed pairs (science_affine_diag.jsonl). Fresh
+    # per-visit affines give the in-model run the same diversity and kill
+    # the phi=0+memorizing-G optimum as a side effect.
+    "v9_affine": ["--synthetic_pad_crop", "--synthetic_appearance", "smooth",
+                  "--synthetic_fresh_affine",
+                  "--stn_type", "affine", "--recon_pyramid", "3",
+                  "--border_mask", "--lambda_smooth", "0.1",
+                  "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "5",
+                  "--stn_grad_clip", "1.0",
+                  "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # control: fresh affines, no GAN (isolates the adversarial wrapper)
+    "v9_affine_r_only": ["--synthetic_pad_crop", "--synthetic_appearance",
+                         "smooth", "--synthetic_fresh_affine",
+                         "--stn_type", "affine", "--recon_pyramid", "3",
+                         "--lambda_GAN", "0", "--lambda_smooth", "0.1",
+                         "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "5",
+                         "--stn_grad_clip", "1.0",
+                         "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # fresh affines for the UNet arm too (does the proven v7 recipe improve?)
+    "v9_unet": ["--synthetic_pad_crop", "--synthetic_appearance", "smooth",
+                "--synthetic_fresh_affine",
+                "--recon_pyramid", "3", "--border_mask", "--stn_multiscale",
+                "--stn_level_scale", "0.25",
+                "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
+                "--stn_grad_clip", "0.5",
+                "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
 }
 
 
