@@ -169,13 +169,36 @@ class ResnetGenerator(nn.Module):
                 self.ngf * 2**self.n_downsampling, self.norm, self.use_dropout,
                 self.norm_impl, ki, self.block_impl,
             )(h, train)
+        use_fused_dec = (
+            self.block_impl == "pallas" and self.norm == "instance"
+        )
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
-            h = nn.ConvTranspose(
-                self.ngf * mult // 2, (3, 3), strides=(2, 2), padding="SAME",
-                kernel_init=ki,
-            )(h)
-            h = _norm_act(h, self.norm, "relu", self.norm_impl)
+            ch = self.ngf * mult // 2
+            if use_fused_dec:
+                from nemar_tpu.ops.convt_fused import (
+                    convt_kernel_supported, fused_convt_in,
+                )
+
+                def ct_params(key, cin, cout):
+                    kk, kb = jax.random.split(key)
+                    return {"kernel": ki(kk, (3, 3, cin, cout), jnp.float32),
+                            "bias": jnp.zeros((cout,), jnp.float32)}
+
+                p = self.param(f"ConvTranspose_{i}", ct_params, h.shape[-1], ch)
+                wk = p["kernel"].astype(h.dtype)
+                if convt_kernel_supported(h.shape):
+                    h = fused_convt_in(h, wk)
+                else:
+                    from nemar_tpu.ops.convt_fused import convt_in_reference
+
+                    h = convt_in_reference(h, wk)
+            else:
+                h = nn.ConvTranspose(
+                    ch, (3, 3), strides=(2, 2), padding="SAME",
+                    kernel_init=ki,
+                )(h)
+                h = _norm_act(h, self.norm, "relu", self.norm_impl)
         h = reflect_pad(h, 3)
         h = nn.Conv(self.output_nc, (7, 7), padding="VALID", kernel_init=ki)(h)
         return jnp.tanh(h)

@@ -150,9 +150,13 @@ def main():
     img4 = jnp.asarray(
         rng.standard_normal((B, H, W, 4), dtype=np.float32)
     ).astype(bf)
-    flow = jnp.asarray(
-        0.05 * rng.standard_normal((B, H, W, 2), dtype=np.float32)
-    )
+    # bounded flow (±~7 px): an unbounded tail in ANY tile flips the whole
+    # call to the exact mm fallback via lax.cond (measured 299 ms/step —
+    # recorded as the mm-path cost)
+    flow = jnp.asarray(np.clip(
+        0.03 * rng.standard_normal((B, H, W, 2), dtype=np.float32),
+        -0.055, 0.055,
+    ))
     ys, xs = jnp.meshgrid(jnp.linspace(-1, 1, H), jnp.linspace(-1, 1, W),
                           indexing="ij")
     base = jnp.stack([xs, ys], -1)[None]
@@ -198,9 +202,10 @@ def main():
 
     @jax.jit
     def conv1(x, w):
-        y = jax.lax.conv_general_dilated(
-            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y * (1.0 / (1.0 + jnp.float32(1e-9)))  # keep dtype, chainable
+        # chainable: bf16 in -> bf16 out (values may overflow; timing only)
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")).astype(x.dtype)
 
     state_c = {"x": x64}
     variants["conv1"] = lambda: (state_c.update(x=conv1(state_c["x"], wconv)),

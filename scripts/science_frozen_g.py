@@ -8,7 +8,8 @@ train R alone for E2 epochs; track held-out EPE. The oracle-G control
 reached 0.41 px (affine STN); if R-vs-frozen-trained-G also converges,
 the remaining gap is co-adaptation dynamics, not representation.
 
-Usage: python scripts/science_frozen_g.py [stn_type] [E1] [E2]
+Usage: python scripts/science_frozen_g.py [stn_type] [E1] [E2] [extra flags...]
+(extra argv entries are appended to the option list verbatim)
 """
 
 import json
@@ -56,6 +57,7 @@ def main():
         base += ["--lambda_smooth", "0.1"]
     else:
         base += ["--stn_multiscale", "--stn_level_scale", "0.5"]
+    base += sys.argv[4:]
 
     # Phase 1: R frozen the whole phase via stn_warmup > e1
     opt = TrainOptions().parse(base + ["--stn_warmup_epochs", str(10 ** 6)])

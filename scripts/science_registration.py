@@ -230,12 +230,21 @@ def main():
     n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 120
     res = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     size = int(sys.argv[4]) if len(sys.argv) > 4 else 32
-    extra = CONFIGS[cfg]
+    seed = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    extra = CONFIGS[cfg] + (["--seed", str(seed)] if seed else [])
+    if seed:
+        cfg = f"{cfg}_s{seed}"
     # this host is a single weak core (~0.065 TFLOP/s): shrink widths so a
     # config finishes in minutes; the training DYNAMICS (does G absorb the
-    # geometry or does R converge) are what's under test, not capacity
+    # geometry or does R converge) are what's under test, not capacity.
+    # At >=256² (run with SCIENCE_TPU=1) the STN needs proportionally more
+    # down levels for the same relative receptive field, and bf16 keeps the
+    # chip fed.
     small = ["--ngf", "32", "--ndf", "32", "--stn_ngf", "16",
-             "--stn_depth", "4", "--synthetic_size", str(size)]
+             "--stn_depth", "6" if res >= 256 else "4",
+             "--synthetic_size", str(size)]
+    if res >= 256 and int(os.environ.get("SCIENCE_TPU", "0")):
+        small += ["--bf16"]
 
     from nemar_tpu.data import create_dataset
     from nemar_tpu.models import create_model
