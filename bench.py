@@ -125,15 +125,30 @@ def bench_train_step(batch_size: int, steps: int = 10, trials: int = 5):
 
 
 def _timeit(f, args, steps=10, trials=3, label=""):
-    import jax
+    """Time a jitted fn; sync via a SCALAR readback.
 
-    np.asarray(jax.tree.leaves(f(*args))[0].astype("float32")).ravel()[:1]
+    Pulling a full output array through the axon relay costs ~100+ ms at
+    these shapes and poisons the measurement (round-3 finding: the warp
+    fwd+bwd 'cost' 153 ms standalone vs 7 ms with a scalar readback — the
+    difference was a 17 MB flow-array readback). The on-device mean adds
+    nanoseconds; the readback is then 4 bytes.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def g(*a):
+        o = f(*a)
+        return jnp.stack([x.astype(jnp.float32).mean()
+                          for x in jax.tree.leaves(o)]).mean()
+
+    float(g(*args))
     best = float("inf")
     for _ in range(trials):
         t0 = time.time()
         for _ in range(steps):
-            o = f(*args)
-        np.asarray(jax.tree.leaves(o)[0].astype("float32")).ravel()[:1]
+            o = g(*args)
+        float(o)
         best = min(best, (time.time() - t0) / steps)
     log(f"{label}: best {best * 1e3:.2f} ms")
     return best

@@ -187,7 +187,7 @@ class ResnetGenerator(nn.Module):
 
                 p = self.param(f"ConvTranspose_{i}", ct_params, h.shape[-1], ch)
                 wk = p["kernel"].astype(h.dtype)
-                if convt_kernel_supported(h.shape):
+                if convt_kernel_supported(h.shape, h.dtype):
                     h = fused_convt_in(h, wk)
                 else:
                     from nemar_tpu.ops.convt_fused import convt_in_reference

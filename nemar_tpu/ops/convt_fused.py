@@ -39,9 +39,20 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def convt_kernel_supported(shape) -> bool:
+def convt_kernel_supported(shape, dtype=None) -> bool:
     n, h, w, c = shape
-    return h % 8 == 0 and w % 8 == 0 and c % 128 == 0
+    ok = h % 8 == 0 and w % 8 == 0 and c % 128 == 0
+    if not ok:
+        return False
+    # fp32 at the large decoder stage overflows the scoped VMEM budget
+    # (measured: 112 MB > 100 MB limit at (128,128,128) f32); bf16 fits.
+    # The f32 case only runs for init forwards / --bf16-off training on
+    # TPU — both are correct (and cheap enough) through the XLA reference.
+    if (dtype is not None and jnp.dtype(dtype).itemsize >= 4
+            and h * w * c * 4 > 8 * 1024 * 1024
+            and jax.default_backend() == "tpu"):
+        return False
+    return True
 
 
 _VMEM_LIM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -52,8 +63,8 @@ _VMEM_LIM = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(x_ref, w_ref, out_ref, y_ref, st_ref, pad_ref,
-                *, h, w, ci, co, eps, act):
+def _fwd_kernel(x_ref, w_ref, y_ref, st_ref, pad_ref,
+                *, h, w, ci, co, eps):
     # pad top/left with one zero row/col
     pad_ref[...] = jnp.zeros_like(pad_ref)
     pad_ref[1:h + 1, 1:w + 1, :] = x_ref[0]
@@ -84,18 +95,14 @@ def _fwd_kernel(x_ref, w_ref, out_ref, y_ref, st_ref, pad_ref,
     for idx, acc in enumerate(planes):
         yhat = (acc - mu) * rstd
         y_ref[0, idx // 2, idx % 2] = yhat.reshape(h, w, co).astype(y_ref.dtype)
-        if act == "relu":
-            yhat = jnp.maximum(yhat, 0.0)
-        out_ref[0, idx // 2, idx % 2] = yhat.reshape(h, w, co).astype(out_ref.dtype)
     st_ref[0] = jnp.concatenate([mu, rstd], axis=0)
 
 
-def _fwd_pallas(x, wk, eps, act):
+def _fwd_pallas(x, wk, eps):
     n, h, w_, ci = x.shape
     co = wk.shape[-1]
-    kernel = functools.partial(_fwd_kernel, h=h, w=w_, ci=ci, co=co,
-                               eps=eps, act=act)
-    out, y, st = pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, h=h, w=w_, ci=ci, co=co, eps=eps)
+    y, st = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
@@ -107,13 +114,10 @@ def _fwd_pallas(x, wk, eps, act):
         out_specs=[
             pl.BlockSpec((1, 2, 2, h, w_, co), lambda i: (i, 0, 0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, 2, h, w_, co), lambda i: (i, 0, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, co), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 2, 2, h, w_, co), x.dtype),  # activated
             jax.ShapeDtypeStruct((n, 2, 2, h, w_, co), x.dtype),  # yhat
             jax.ShapeDtypeStruct((n, 2, co), jnp.float32),        # mu, rstd
         ],
@@ -121,7 +125,7 @@ def _fwd_pallas(x, wk, eps, act):
         compiler_params=_VMEM_LIM,
         interpret=_interpret(),
     )(x, wk)
-    return out, y, st
+    return y, st
 
 
 def _d2s(planes):
@@ -253,16 +257,26 @@ def _bwd_pallas(x, y, st, gp, wk, act):
 # ---------------------------------------------------------------------------
 
 
+def _apply_act(y, act):
+    return jnp.maximum(y, 0.0) if act == "relu" else y
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def fused_convt_in(x, wk, eps=1e-5, act="relu"):
-    """IN(ConvTranspose3x3s2(x, wk)) (+ReLU), NHWC -> (N, 2H, 2W, Co)."""
-    out, _, _ = _fwd_pallas(x, wk, eps, act)
-    return _d2s(out)
+    """IN(ConvTranspose3x3s2(x, wk)) (+ReLU), NHWC -> (N, 2H, 2W, Co).
+
+    The kernel emits the normalized pre-activation parity planes; the
+    activation + depth-to-space run in XLA (fused, one pass) — this keeps
+    the kernel to a single large output, the VMEM lever that fits the
+    128^2-input stage in fp32 too.
+    """
+    y, _ = _fwd_pallas(x, wk, eps)
+    return _apply_act(_d2s(y), act)
 
 
 def _fct_fwd(x, wk, eps, act):
-    out, y, st = _fwd_pallas(x, wk, eps, act)
-    return _d2s(out), (x, y, st, wk)
+    y, st = _fwd_pallas(x, wk, eps)
+    return _apply_act(_d2s(y), act), (x, y, st, wk)
 
 
 def _fct_bwd(eps, act, res, g):

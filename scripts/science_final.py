@@ -9,8 +9,10 @@ the joint end-game G keeps absorbing the residual photometric signal that
 R needs (the race), so the last px of alignment comes from a refinement
 phase against the frozen, now-sharp translator.
 
-Usage: python scripts/science_final.py [E1] [E1_decay] [E2]
-Writes /tmp/science_final.jsonl and saves 'latest' checkpoints.
+Usage: python scripts/science_final.py [E1] [E1_decay] [E2] [seed] [res]
+Writes /tmp/science_final{_s<seed>}{_r<res>}.jsonl and saves 'latest'
+checkpoints. res >= 256 bumps the STN depth and pyramid (same relative
+receptive field) — run those with SCIENCE_TPU=1.
 """
 
 import json
@@ -33,7 +35,10 @@ def main():
     e1 = int(sys.argv[1]) if len(sys.argv) > 1 else 45
     e1d = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     e2 = int(sys.argv[3]) if len(sys.argv) > 3 else 15
-    res, size = 64, 192
+    seed = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    res = int(sys.argv[5]) if len(sys.argv) > 5 else 64
+    size = 192
+    tag = (f"_s{seed}" if seed else "") + (f"_r{res}" if res != 64 else "")
 
     from nemar_tpu.data import create_dataset
     from nemar_tpu.models import create_model
@@ -43,7 +48,8 @@ def main():
     opt = TrainOptions().parse([
         "--dataroot", "__synthetic__", "--dataset_mode", "synthetic",
         "--model", "nemar", "--stn_type", "unet",
-        "--name", "final", "--checkpoints_dir", "/tmp/sci_final",
+        "--name", f"final{tag}", "--checkpoints_dir", f"/tmp/sci_final{tag}",
+        "--seed", str(seed),
         "--crop_size", str(res), "--load_size", str(res),
         "--batch_size", "8", "--synthetic_size", str(size),
         "--synthetic_pad_crop", "--synthetic_appearance", "smooth",
@@ -55,8 +61,10 @@ def main():
         "--n_epochs", str(e1), "--n_epochs_decay", str(e1d),
         "--save_epoch_freq", "10000", "--print_freq", "100000",
         "--display_freq", "1000000", "--no_html",
-        "--ngf", "32", "--ndf", "32", "--stn_ngf", "16", "--stn_depth", "4",
-    ])
+        "--ngf", "32", "--ndf", "32", "--stn_ngf", "16",
+        "--stn_depth", "6" if res >= 256 else "4",
+    ] + (["--bf16"] if res >= 256 and int(os.environ.get("SCIENCE_TPU", "0"))
+         else []))
     dataset = create_dataset(opt)
     model = create_model(opt)
     model.setup(opt)
@@ -80,7 +88,7 @@ def main():
             [M.registration_gt_flow(it["theta_gt"], res, res) for it in items],
         )
 
-    f = open("/tmp/science_final.jsonl", "w")
+    f = open("/tmp/science_final{}.jsonl".format(tag), "w")
 
     def evaluate(tag, epoch):
         rec = {"phase": tag, "epoch": epoch}
