@@ -49,7 +49,7 @@ def convt_kernel_supported(shape, dtype=None) -> bool:
     # The f32 case only runs for init forwards / --bf16-off training on
     # TPU — both are correct (and cheap enough) through the XLA reference.
     if (dtype is not None and jnp.dtype(dtype).itemsize >= 4
-            and h * w * c * 4 > 8 * 1024 * 1024
+            and h * w * c * 4 >= 8 * 1024 * 1024
             and jax.default_backend() == "tpu"):
         return False
     return True
@@ -261,8 +261,16 @@ def _apply_act(y, act):
     return jnp.maximum(y, 0.0) if act == "relu" else y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def fused_convt_in(x, wk, eps=1e-5, act="relu"):
+    """Public entry: Pallas kernel when (shape, dtype) fit the VMEM budget,
+    exact XLA reference otherwise (identical math either way)."""
+    if not convt_kernel_supported(x.shape, x.dtype):
+        return convt_in_reference(x, wk, eps, act)
+    return _fused_convt_in(x, wk, eps, act)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_convt_in(x, wk, eps=1e-5, act="relu"):
     """IN(ConvTranspose3x3s2(x, wk)) (+ReLU), NHWC -> (N, 2H, 2W, Co).
 
     The kernel emits the normalized pre-activation parity planes; the
@@ -285,7 +293,7 @@ def _fct_bwd(eps, act, res, g):
     return dx, dw.astype(wk.dtype)
 
 
-fused_convt_in.defvjp(_fct_fwd, _fct_bwd)
+_fused_convt_in.defvjp(_fct_fwd, _fct_bwd)
 
 
 def convt_in_reference(x, wk, eps=1e-5, act="relu"):
