@@ -70,6 +70,8 @@ class CycleGANModel(BaseModel):
             return networks.define_G(
                 opt.input_nc, opt.output_nc, opt.ngf, opt.netG, opt.norm,
                 not opt.no_dropout, opt.init_type, opt.init_gain, norm_impl,
+                getattr(opt, "remat", False),
+                getattr(opt, "block_impl", "xla"),
             )
 
         def make_d():

@@ -42,6 +42,7 @@ class TestModel(BaseModel):
             opt.input_nc, opt.output_nc, opt.ngf, opt.netG, opt.norm,
             not opt.no_dropout, opt.init_type, opt.init_gain,
             getattr(opt, "norm_impl", "xla"),
+            getattr(opt, "remat", False), getattr(opt, "block_impl", "xla"),
         )
         h = w = opt.crop_size
         a0 = jnp.zeros((1, h, w, opt.input_nc), jnp.float32)

@@ -152,8 +152,9 @@ def _bwd_kernel(st_ref, x_ref, y_ref, gp_ref, w_ref,
     hw4 = float(4 * h * w)
     rstd = st_ref[0, 1:2, :]
 
-    # IN backward needs plane-wide means of ghat and ghat*yhat
-    ghs = []
+    # Two passes over the planes keep only ONE plane's values live at a
+    # time (the 4-plane gh/yh lists blew the 128 MB VMEM capacity at the
+    # 128^2 stage). Pass 1: the IN-backward means. Pass 2: dz -> gpad.
     m1 = jnp.zeros((1, co), jnp.float32)
     m2 = jnp.zeros((1, co), jnp.float32)
     for idx in range(4):
@@ -161,43 +162,38 @@ def _bwd_kernel(st_ref, x_ref, y_ref, gp_ref, w_ref,
         gh = gp_ref[0, idx // 2, idx % 2].astype(jnp.float32).reshape(h * w, co)
         if act == "relu":
             gh = gh * (yh > 0.0)
-        ghs.append((gh, yh))
         m1 = m1 + jnp.sum(gh, axis=0, keepdims=True)
         m2 = m2 + jnp.sum(gh * yh, axis=0, keepdims=True)
     m1, m2 = m1 / hw4, m2 / hw4
 
-    # dz planes into the padded-gradient scratch (pad bottom/right for the
-    # +1 offsets of the data backward)
     gpad_ref[...] = jnp.zeros_like(gpad_ref)
-    dzs = []
-    for idx in range(4):
-        gh, yh = ghs[idx]
-        dz = rstd * (gh - m1 - yh * m2)
-        dzs.append(dz)
-        gpad_ref[idx, 0:h, 0:w, :] = dz.reshape(h, w, co)
-
-    # ---- dW[ky,kx] += x_slab^T @ dz_plane  (contract H*W) ----
     pad_ref[...] = jnp.zeros_like(pad_ref)
     pad_ref[1:h + 1, 1:w + 1, :] = x_ref[0]
-    for py in (0, 1):
-        for px in (0, 1):
-            dz = dzs[py * 2 + px]
-            for ky, oy in _AX[py]:
-                for kx, ox in _AX[px]:
-                    slab = pad_ref[oy:oy + h, ox:ox + w, :].reshape(h * w, ci)
-                    d = jax.lax.dot_general(
-                        slab.astype(jnp.float32), dz,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+    for idx in range(4):
+        py, px = idx // 2, idx % 2
+        yh = y_ref[0, py, px].astype(jnp.float32).reshape(h * w, co)
+        gh = gp_ref[0, py, px].astype(jnp.float32).reshape(h * w, co)
+        if act == "relu":
+            gh = gh * (yh > 0.0)
+        dz = rstd * (gh - m1 - yh * m2)
+        gpad_ref[idx, 0:h, 0:w, :] = dz.reshape(h, w, co)
+        # ---- dW[ky,kx] += x_slab^T @ dz_plane  (contract H*W) ----
+        for ky, oy in _AX[py]:
+            for kx, ox in _AX[px]:
+                slab = pad_ref[oy:oy + h, ox:ox + w, :].reshape(h * w, ci)
+                d = jax.lax.dot_general(
+                    slab.astype(jnp.float32), dz,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
 
-                    @pl.when(i == 0)
-                    def _():
-                        dw_ref[ky, kx] = d
+                @pl.when(i == 0)
+                def _():
+                    dw_ref[ky, kx] = d
 
-                    @pl.when(i != 0)
-                    def _():
-                        dw_ref[ky, kx] += d
+                @pl.when(i != 0)
+                def _():
+                    dw_ref[ky, kx] += d
 
     # ---- dx[i,j] = sum_{u,v} gP[par(u)][i+u//2, j+v//2] @ W[2-u,2-v]^T ----
     dx = None

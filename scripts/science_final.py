@@ -9,7 +9,10 @@ the joint end-game G keeps absorbing the residual photometric signal that
 R needs (the race), so the last px of alignment comes from a refinement
 phase against the frozen, now-sharp translator.
 
-Usage: python scripts/science_final.py [E1] [E1_decay] [E2] [seed] [res]
+Usage: python scripts/science_final.py [E1] [E1_decay] [E2] [seed] [res] [stn]
+stn: unet (default) uses the v7_unet damped-multiscale recipe; affine uses
+the round-3 v9_affine recipe (fresh per-visit misalignments — the data-
+diversity lever the global 6-param head needs, science_affine_diag).
 Writes /tmp/science_final{_s<seed>}{_r<res>}.jsonl and saves 'latest'
 checkpoints. res >= 256 bumps the STN depth and pyramid (same relative
 receptive field) — run those with SCIENCE_TPU=1.
@@ -37,8 +40,10 @@ def main():
     e2 = int(sys.argv[3]) if len(sys.argv) > 3 else 15
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     res = int(sys.argv[5]) if len(sys.argv) > 5 else 64
+    stn = sys.argv[6] if len(sys.argv) > 6 else "unet"
     size = 192
-    tag = (f"_s{seed}" if seed else "") + (f"_r{res}" if res != 64 else "")
+    tag = ((f"_{stn}" if stn != "unet" else "")
+           + (f"_s{seed}" if seed else "") + (f"_r{res}" if res != 64 else ""))
 
     from nemar_tpu.data import create_dataset
     from nemar_tpu.models import create_model
@@ -47,16 +52,20 @@ def main():
 
     opt = TrainOptions().parse([
         "--dataroot", "__synthetic__", "--dataset_mode", "synthetic",
-        "--model", "nemar", "--stn_type", "unet",
+        "--model", "nemar", "--stn_type", stn,
         "--name", f"final{tag}", "--checkpoints_dir", f"/tmp/sci_final{tag}",
         "--seed", str(seed),
         "--crop_size", str(res), "--load_size", str(res),
         "--batch_size", "8", "--synthetic_size", str(size),
         "--synthetic_pad_crop", "--synthetic_appearance", "smooth",
         "--recon_pyramid", "3", "--border_mask",
-        "--stn_multiscale", "--stn_level_scale", "0.25",
-        "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
-        "--stn_grad_clip", "0.5",
+    ] + (["--stn_multiscale", "--stn_level_scale", "0.25",
+          "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
+          "--stn_grad_clip", "0.5"]
+         if stn == "unet" else
+         ["--synthetic_fresh_affine", "--lambda_smooth", "0.1",
+          "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "5",
+          "--stn_grad_clip", "1.0"]) + [
         "--stn_lr", "1e-3", "--stn_beta1", "0.9",
         "--n_epochs", str(e1), "--n_epochs_decay", str(e1d),
         "--save_epoch_freq", "10000", "--print_freq", "100000",
@@ -137,7 +146,7 @@ def main():
         if epoch % 3 == 0 or epoch == e2:
             epe = evaluate("P2_refine", epoch)
     model.save_networks("latest_refined")
-    print(json.dumps({"config": "final", "final_epe_ho_px": epe,
+    print(json.dumps({"config": f"final{tag}", "final_epe_ho_px": epe,
                       "minutes": round((time.time() - t0) / 60, 1)}))
     f.close()
 
