@@ -57,7 +57,7 @@ def _stdout_to_stderr():
         sys.stdout = old
 
 
-def build_model(batch_size: int):
+def build_model(batch_size: int, block_impl: str = "pallas"):
     from nemar_tpu.models import create_model
     from nemar_tpu.options import TrainOptions
 
@@ -68,7 +68,7 @@ def build_model(batch_size: int):
         "--batch_size", str(batch_size),
         "--netG", "resnet_6blocks", "--stn_type", "unet",
         "--gan_mode", "lsgan", "--pool_size", "0",
-        "--bf16",
+        "--bf16", "--block_impl", block_impl,
     ]
     with _stdout_to_stderr():
         opt = TrainOptions().parse(args)
@@ -77,10 +77,14 @@ def build_model(batch_size: int):
     return model, opt
 
 
-def bench_train_step(batch_size: int, steps: int = 10, trials: int = 5):
+def bench_train_step(batch_size: int, steps: int = 10, trials: int = 5,
+                     block_impl: str = "pallas"):
+    """Headline: --block_impl pallas routes the generator's trunk + decoder
+    through the fused kernels (probe r3d: beats the XLA step same-window);
+    the caller falls back to xla on any compile failure."""
     import jax
 
-    model, opt = build_model(batch_size)
+    model, opt = build_model(batch_size, block_impl)
     rng = np.random.default_rng(0)
     batch = {
         "A": rng.standard_normal((batch_size, 256, 256, opt.input_nc), dtype=np.float32),
@@ -312,12 +316,13 @@ def main():
         return
 
     pairs = None
-    for batch in (32, 16, 8):
+    for batch, impl in ((32, "pallas"), (32, "xla"), (16, "pallas"),
+                        (16, "xla"), (8, "xla")):
         try:
-            pairs = bench_train_step(batch)
+            pairs = bench_train_step(batch, block_impl=impl)
             break
-        except Exception as e:  # OOM etc: try smaller batch
-            log(f"batch {batch} failed: {type(e).__name__}: {e}")
+        except Exception as e:  # OOM / kernel compile failure: step down
+            log(f"batch {batch} impl {impl} failed: {type(e).__name__}: {e}")
     if pairs is None:
         print(json.dumps({
             "metric": "nemar_train_pairs_per_sec_per_chip_256",

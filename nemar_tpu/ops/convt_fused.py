@@ -259,8 +259,14 @@ def _apply_act(y, act):
 
 def fused_convt_in(x, wk, eps=1e-5, act="relu"):
     """Public entry: Pallas kernel when (shape, dtype) fit the VMEM budget,
-    exact XLA reference otherwise (identical math either way)."""
-    if not convt_kernel_supported(x.shape, x.dtype):
+    exact XLA reference otherwise (identical math either way).
+
+    co (wk's last dim) must be a lane multiple: Mosaic pads the lane axis
+    to 128, and at co=64 that padding doubled every parity-plane buffer —
+    measured 132 MB > the 128 MB VMEM capacity inside the full train step.
+    Sub-128 co stages route to XLA."""
+    if (not convt_kernel_supported(x.shape, x.dtype)
+            or wk.shape[-1] % 128 != 0):
         return convt_in_reference(x, wk, eps, act)
     return _fused_convt_in(x, wk, eps, act)
 
