@@ -96,7 +96,7 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         use_fused = (
-            self.block_impl == "pallas"
+            self.block_impl in ("pallas", "pallas_all")
             and self.norm == "instance"
             and not self.use_dropout
         )
@@ -145,7 +145,7 @@ class ResnetGenerator(nn.Module):
     norm_impl: str = "xla"
     kernel_init: Callable = conv_init
     use_remat: bool = False  # jax.checkpoint each ResnetBlock (512^2 configs)
-    block_impl: str = "xla"  # 'pallas': fused trunk-block kernel
+    block_impl: str = "xla"  # 'pallas': fused trunk | 'pallas_all': +decoder
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -169,8 +169,12 @@ class ResnetGenerator(nn.Module):
                 self.ngf * 2**self.n_downsampling, self.norm, self.use_dropout,
                 self.norm_impl, ki, self.block_impl,
             )(h, train)
+        # 'pallas' fuses the TRUNK only: the fused convT decoder measured
+        # SLOWER than XLA's lowering standalone (12.1 vs 7.7 ms fwd+bwd at
+        # the 64^2 C256->128 stage, probe r3d — small per-sample matmuls
+        # underfill the MXU); 'pallas_all' keeps it for future tuning.
         use_fused_dec = (
-            self.block_impl == "pallas" and self.norm == "instance"
+            self.block_impl == "pallas_all" and self.norm == "instance"
         )
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)

@@ -98,10 +98,15 @@ class BaseOptions:
         parser.add_argument("--norm_impl", type=str, default="xla",
                             help="instance-norm implementation [xla | pallas]")
         parser.add_argument("--block_impl", type=str, default="xla",
-                            choices=["xla", "pallas"],
-                            help="ResNet trunk block implementation: 'pallas' "
-                                 "fuses conv3x3+IN+ReLU x2 + skip into one "
-                                 "VMEM-resident kernel (ops/conv_fused.py)")
+                            choices=["xla", "pallas", "pallas_all"],
+                            help="generator conv kernels: 'pallas' fuses each "
+                                 "trunk ResNet block (conv3x3+IN+ReLU x2 + "
+                                 "skip) into one VMEM-resident kernel "
+                                 "(ops/conv_fused.py; wins ~17%% on the trunk "
+                                 "fwd+bwd); 'pallas_all' also fuses the "
+                                 "ConvTranspose decoder stages (measured "
+                                 "slower than XLA's lowering — kept for "
+                                 "future tuning)")
         parser.add_argument("--profile_dir", type=str, default="",
                             help="if set, write a jax.profiler trace of the hot loop here")
         parser.add_argument("--data_shard_count", type=int, default=-1,

@@ -34,6 +34,7 @@ def main():
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 48
     pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 96
     epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    seed = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
     from nemar_tpu.data import create_dataset
     from nemar_tpu.data.synthetic_dataset import SyntheticDataset
@@ -44,7 +45,8 @@ def main():
     opt = TrainOptions().parse([
         "--dataroot", "__synthetic__", "--dataset_mode", "synthetic",
         "--model", "nemar", "--stn_type", "unet",
-        "--name", f"advp{res}", "--checkpoints_dir", f"/tmp/advp{res}",
+        "--name", f"advp{res}_s{seed}", "--checkpoints_dir", f"/tmp/advp{res}_s{seed}",
+        "--seed", str(seed),
         "--crop_size", str(res), "--load_size", str(res),
         "--batch_size", "8", "--synthetic_size", str(pairs),
         "--synthetic_pad_crop", "--synthetic_appearance", "smooth",
@@ -63,7 +65,7 @@ def main():
     model.setup(opt)
 
     eval_opt = copy.deepcopy(opt)
-    eval_opt.seed = 1000
+    eval_opt.seed = seed + 1000
     ds_ho = SyntheticDataset(eval_opt)
     ho = [ds_ho[i] for i in range(12)]
     ea = np.stack([it["A"] for it in ho])
@@ -88,7 +90,7 @@ def main():
                 cos.append(float(pv @ gv / den))
         epe = float(np.mean([M.epe_px(flow[j], gts[j], res, res)
                              for j in range(len(gts))]))
-        rec = {"res": res, "pairs": pairs, "epoch": epoch,
+        rec = {"res": res, "pairs": pairs, "seed": seed, "epoch": epoch,
                "cos": round(float(np.mean(cos)) if cos else 0.0, 3),
                "mag_px": round(float(np.mean(np.abs(flow))) * res / 2, 3),
                "epe_ho": round(epe, 3),

@@ -81,8 +81,12 @@ def test_bias_is_inert_through_in(rng):
         atol=1e-5)
 
 
-def test_generator_param_interchange(rng):
-    """ResnetGenerator(block_impl='pallas') loads XLA-branch params and
+import pytest
+
+
+@pytest.mark.parametrize("impl", ["pallas", "pallas_all"])
+def test_generator_param_interchange(rng, impl):
+    """ResnetGenerator(block_impl=pallas*) loads XLA-branch params and
     reproduces its output (checkpoint compatibility + end-to-end parity).
 
     Uses 128-channel trunk (ngf=32, 2 downs -> C=128) at 32x32 input so
@@ -94,7 +98,7 @@ def test_generator_param_interchange(rng):
     x = jnp.asarray(rng.standard_normal((1, 32, 32, 1), dtype=np.float32))
     g_x = ResnetGenerator(3, 32, 2, 2, "instance", False, "xla")
     g_p = ResnetGenerator(3, 32, 2, 2, "instance", False, "xla",
-                          block_impl="pallas")
+                          block_impl=impl)
     px = g_x.init(jax.random.key(0), x)
     pp = g_p.init(jax.random.key(0), x)
     assert jax.tree.structure(px) == jax.tree.structure(pp)
@@ -113,7 +117,7 @@ def test_generator_param_interchange_grads(rng):
     x = jnp.asarray(rng.standard_normal((1, 32, 32, 1), dtype=np.float32))
     g_x = ResnetGenerator(3, 32, 2, 2, "instance", False, "xla")
     g_p = ResnetGenerator(3, 32, 2, 2, "instance", False, "xla",
-                          block_impl="pallas")
+                          block_impl="pallas_all")
     px = g_x.init(jax.random.key(0), x)
 
     gx = jax.grad(lambda p: jnp.mean(jnp.square(g_x.apply(p, x))))(px)
