@@ -203,8 +203,25 @@ class ResnetGenerator(nn.Module):
                     kernel_init=ki,
                 )(h)
                 h = _norm_act(h, self.norm, "relu", self.norm_impl)
-        h = reflect_pad(h, 3)
-        h = nn.Conv(self.output_nc, (7, 7), padding="VALID", kernel_init=ki)(h)
+        if self.block_impl != "xla" and self.output_nc <= 8:
+            # 7x7 head to output_nc channels: ~3% MFU under the direct
+            # lowering (3/128 output lanes); the scatter form lifts taps
+            # into lanes (ops/conv_small.py). Params keep the Conv_3
+            # {kernel, bias} tree; this conv's bias is live (no IN after).
+            from nemar_tpu.ops.conv_small import conv2d_small_cout
+
+            def head_params(key, cin, cout):
+                kk, kb = jax.random.split(key)
+                return {"kernel": ki(kk, (7, 7, cin, cout), jnp.float32),
+                        "bias": jnp.zeros((cout,), jnp.float32)}
+
+            ph = self.param("Conv_3", head_params, h.shape[-1], self.output_nc)
+            h = conv2d_small_cout(h, ph["kernel"].astype(h.dtype), 3)
+            h = h + ph["bias"].astype(h.dtype)
+        else:
+            h = reflect_pad(h, 3)
+            h = nn.Conv(self.output_nc, (7, 7), padding="VALID",
+                        kernel_init=ki)(h)
         return jnp.tanh(h)
 
 
