@@ -205,10 +205,11 @@ class ResnetGenerator(nn.Module):
                 h = _norm_act(h, self.norm, "relu", self.norm_impl)
         if self.block_impl != "xla" and self.output_nc <= 8:
             # 7x7 head to output_nc channels: ~3% MFU under the direct
-            # lowering (3/128 output lanes); the scatter form lifts taps
-            # into lanes (ops/conv_small.py). Params keep the Conv_3
-            # {kernel, bias} tree; this conv's bias is live (no IN after).
-            from nemar_tpu.ops.conv_small import conv2d_small_cout
+            # lowering (3/128 output lanes) and worse under the pure-XLA
+            # scatter rewrite (probe r3e); the CHW Pallas kernel puts
+            # SPATIAL on the lanes instead (ops/conv_head.py). Params keep
+            # the Conv_3 {kernel, bias} tree; this bias is live (no IN).
+            from nemar_tpu.ops.conv_head import conv_head
 
             def head_params(key, cin, cout):
                 kk, kb = jax.random.split(key)
@@ -216,7 +217,7 @@ class ResnetGenerator(nn.Module):
                         "bias": jnp.zeros((cout,), jnp.float32)}
 
             ph = self.param("Conv_3", head_params, h.shape[-1], self.output_nc)
-            h = conv2d_small_cout(h, ph["kernel"].astype(h.dtype), 3)
+            h = conv_head(h, ph["kernel"].astype(h.dtype))
             h = h + ph["bias"].astype(h.dtype)
         else:
             h = reflect_pad(h, 3)

@@ -10,7 +10,7 @@ and reports held-out EPE/NCC against the saved ground-truth affines.
 This proves the multimodal loader + recipe train together — the synthetic
 in-memory generator is bypassed entirely.
 
-Usage: python scripts/science_realdata.py [epochs] [res]
+Usage: python scripts/science_realdata.py [epochs] [res] [n_train]
 Writes docs/science/science_realdata.jsonl
 """
 
@@ -84,10 +84,11 @@ def generate(root, n_train=50, n_test=12, res=64, misalign=0.05, seed=0):
 def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 64
-    root = "/tmp/pseudo_mm"
+    n_train = int(sys.argv[3]) if len(sys.argv) > 3 else 50
+    root = f"/tmp/pseudo_mm_{n_train}" if n_train != 50 else "/tmp/pseudo_mm"
     if not os.path.exists(os.path.join(root, "gt.json")):
         print("generating pseudo-multimodal dataset...", flush=True)
-        generate(root, res=res)
+        generate(root, n_train=n_train, res=res)
 
     from nemar_tpu.data import create_dataset
     from nemar_tpu.models import create_model
@@ -166,7 +167,7 @@ def main():
         model.update_learning_rate(epoch)
         if epoch % 5 == 0 or epoch == epochs:
             evaluate(epoch)
-    print(json.dumps({"config": "realdata_pipeline", "pairs": len(dataset),
+    print(json.dumps({"config": f"realdata_pipeline_n{n_train}", "pairs": len(dataset),
                       "final_epe_px": evaluate(epochs)}))
     f.close()
 
