@@ -175,6 +175,13 @@ def bench_config(n: int):
         grid = affine_grid(theta, (1, 1, 256, 256))
         f = jax.jit(lambda i, g: grid_sample(i, g))
         dt = _timeit(f, (img, grid), label="affine warp fwd 256² (b1 smoke)")
+        if jax.default_backend() != "tpu":
+            # CPU CI smoke: the production-shape Pallas measurement would
+            # run in interpret mode (minutes); report the b1 smoke only.
+            gbs = (256 * 256 * (1 * 4 * 2 + 2 * 4)) / dt / 1e9
+            return {"metric": "affine_warp_fwd_GBps_256",
+                    "value": round(gbs, 2), "unit": "GB/s",
+                    "vs_baseline": 1.0}
 
         bsz, ch = 32, 3
         imgP = jnp.asarray(

@@ -69,20 +69,28 @@ def _build_padded(x_ref, pad_ref, h, w):
 
 
 def _fwd_kernel(x_ref, w_ref, out_ref, pad_ref, *, ci, co, h, w):
+    # dy runs in a fori_loop: the fully-unrolled 49-stage body OOM'd the
+    # Mosaic compile helper (SIGKILL) at these shapes.
     _build_padded(x_ref, pad_ref, h, w)
+    wp = w + 2 * PAD
     acc = jnp.zeros((co, h * w), jnp.float32)  # Mosaic pads M to a sublane
     for dx in range(K7):
         # non-negative shift: roll by (Wp - dx) == roll by -dx (mod Wp)
-        wp = w + 2 * PAD
         rolled = (pad_ref[...] if dx == 0
                   else pltpu.roll(pad_ref[...], wp - dx, 2))  # (Ci, H+6, Wp)
-        for dy in range(K7):
-            slab = rolled[:, dy:dy + h, 0:w].reshape(ci, h * w)
-            acc += jax.lax.dot_general(
-                w_ref[dy, dx], slab,
+
+        def body(dy, acc, dx=dx, rolled=rolled):
+            slab = jax.lax.dynamic_slice(
+                rolled, (0, dy, 0), (ci, h, w)).reshape(ci, h * w)
+            wtap = jax.lax.dynamic_slice(
+                w_ref[...], (dy, dx, 0, 0), (1, 1, co, ci))[0, 0]
+            return acc + jax.lax.dot_general(
+                wtap, slab,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+
+        acc = jax.lax.fori_loop(0, K7, body, acc)
     out_ref[0] = acc.reshape(co, h, w).astype(out_ref.dtype)
 
 
@@ -113,38 +121,43 @@ def _fwd_pallas(x_t, w8):
 def _bwd_kernel(x_ref, g_ref, w_ref, dw_ref, dx_ref, pad_ref, dpad_ref,
                 *, ci, co, h, w):
     i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        # zero the batch-accumulated dW once (0*garbage would NaN)
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
     _build_padded(x_ref, pad_ref, h, w)
     g2 = g_ref[0].reshape(co, h * w).astype(jnp.float32)
 
     dpad_ref[...] = jnp.zeros_like(dpad_ref)
+    wp = w + 2 * PAD
     for dx in range(K7):
-        wp = w + 2 * PAD
         rolled = (pad_ref[...] if dx == 0
                   else pltpu.roll(pad_ref[...], wp - dx, 2))
-        for dy in range(K7):
-            slab = rolled[:, dy:dy + h, 0:w].reshape(ci, h * w)
+
+        def body(dy, _, dx=dx, rolled=rolled):
+            slab = jax.lax.dynamic_slice(
+                rolled, (0, dy, 0), (ci, h, w)).reshape(ci, h * w)
+            wtap = jax.lax.dynamic_slice(
+                w_ref[...], (dy, dx, 0, 0), (1, 1, co, ci))[0, 0]
             # dW[dy,dx] (Co, Ci) += g2 @ slab^T (contract positions)
             d = jax.lax.dot_general(
                 g2, slab,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-
-            @pl.when(i == 0)
-            def _():
-                dw_ref[dy, dx] = d
-
-            @pl.when(i != 0)
-            def _():
-                dw_ref[dy, dx] += d
-
+            dw_ref[pl.ds(dy, 1), pl.ds(dx, 1), :, :] += d[None, None]
             # dxp[k, dy:dy+h, dx:dx+w] += W[dy,dx]^T @ g2
             dxp = jax.lax.dot_general(
-                w_ref[dy, dx], g2,
+                wtap, g2,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
-            dpad_ref[:, dy:dy + h, dx:dx + w] += dxp.reshape(ci, h, w)
+            ).reshape(ci, h, w)
+            dpad_ref[:, pl.ds(dy, h), pl.ds(dx, w)] += dxp
+            return 0
+
+        jax.lax.fori_loop(0, K7, body, 0)
 
     # reflect-pad adjoint (reverse of _build_padded)
     for dr in range(1, PAD + 1):

@@ -83,8 +83,18 @@ def main():
         return lambda: (st.update(p=f(st["p"], x0)),
                         jax.tree.leaves(st["p"])[0])[1]
 
+    class C7H(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            from nemar_tpu.ops.conv_head import conv_head
+
+            k = self.param("k", nn.initializers.normal(0.02), (7, 7, 64, 3))
+            b = self.param("b", nn.initializers.zeros, (3,))
+            return jnp.tanh(conv_head(x, k.astype(x.dtype)) + b.astype(x.dtype))
+
     variants["c7"] = fb_variant(C7(), h256)
     variants["c7s"] = fb_variant(C7S(), h256)
+    variants["c7h"] = fb_variant(C7H(), h256)
 
     from nemar_tpu.models import create_model
     from nemar_tpu.options import TrainOptions

@@ -28,5 +28,5 @@ def test_config1_json_contract():
     lines = [l for l in r.stdout.strip().splitlines() if l.strip()]
     assert len(lines) == 1, f"stdout must be ONE json line, got: {r.stdout!r}"
     payload = json.loads(lines[0])
-    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(payload)
     assert payload["value"] > 0
