@@ -57,20 +57,24 @@ _PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
 
 def _fwd_kernel(x_ref, w_ref, out_ref, *, ci, co, h, w):
+    # Dynamic lane offsets must be 128-aligned (Mosaic): the wide window
+    # starts at dy*w (w % 128 == 0, hinted), the 0..6 dx offsets are
+    # STATIC value sub-slices of it.
     hw = h * w
 
-    def body(t, acc):
-        off = (t // K7) * w + (t % K7)
-        slab = x_ref[0, :, pl.ds(off, hw)]
-        wtap = w_ref[pl.ds(t, 1)][0]
-        return acc + jax.lax.dot_general(
-            wtap, slab,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    def body(dy, acc):
+        base = pl.multiple_of(dy * w, 128)
+        wide = x_ref[0, :, pl.ds(base, hw + 128)]
+        for dx in range(K7):
+            wtap = w_ref[pl.ds(dy * K7 + dx, 1)][0]
+            acc = acc + jax.lax.dot_general(
+                wtap, wide[:, dx:dx + hw],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return acc
 
-    acc = jax.lax.fori_loop(0, K7 * K7, body,
-                            jnp.zeros((co, hw), jnp.float32))
+    acc = jax.lax.fori_loop(0, K7, body, jnp.zeros((co, hw), jnp.float32))
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
@@ -86,24 +90,29 @@ def _bwd_kernel(x_ref, g_ref, w_ref, dw_ref, dx_ref, *, ci, co, h, w):
     dx_ref[0] = jnp.zeros_like(dx_ref[0])
     g2 = g_ref[0].astype(jnp.float32)
 
-    def body(t, _):
-        off = (t // K7) * w + (t % K7)
-        slab = x_ref[0, :, pl.ds(off, hw)].astype(jnp.float32)
-        wtap = w_ref[pl.ds(t, 1)][0]
-        dw_ref[pl.ds(t, 1)] += jax.lax.dot_general(
-            g2, slab,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[None]
-        dxp = jax.lax.dot_general(
-            wtap, g2,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dx_ref[0, :, pl.ds(off, hw)] += dxp.astype(dx_ref.dtype)
+    def body(dy, _):
+        base = pl.multiple_of(dy * w, 128)
+        wide = x_ref[0, :, pl.ds(base, hw + 128)].astype(jnp.float32)
+        dwide = jnp.zeros((ci, hw + 128), jnp.float32)
+        for dx in range(K7):
+            t = dy * K7 + dx
+            wtap = w_ref[pl.ds(t, 1)][0]
+            dw_ref[pl.ds(t, 1)] += jax.lax.dot_general(
+                g2, wide[:, dx:dx + hw],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[None]
+            dxp = jax.lax.dot_general(
+                wtap, g2,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # static pad positions dxp at lane offset dx inside the window
+            dwide = dwide + jnp.pad(dxp, ((0, 0), (dx, 128 - dx)))
+        dx_ref[0, :, pl.ds(base, hw + 128)] += dwide.astype(dx_ref.dtype)
         return 0
 
-    jax.lax.fori_loop(0, K7 * K7, body, 0)
+    jax.lax.fori_loop(0, K7, body, 0)
 
 
 def _make_core(h, w):
@@ -197,7 +206,9 @@ def conv_head(x: jax.Array, wk: jax.Array) -> jax.Array:
     # side absorb the column-tap offsets
     xr = jnp.pad(x, ((0, 0), (PAD, PAD), (0, 0), (0, 0)), mode="reflect")
     xf = jnp.transpose(xr, (0, 3, 1, 2)).reshape(n, ci, (h + 2 * PAD) * w)
-    xf = jnp.pad(xf, ((0, 0), (0, 0), (PAD, PAD)))
+    # left pad PAD (offset algebra), right pad so the widest aligned
+    # window (base=6w, length hw+128) stays in bounds
+    xf = jnp.pad(xf, ((0, 0), (0, 0), (PAD, 128)))
     w49 = jnp.transpose(wk, (0, 1, 3, 2)).reshape(K7 * K7, co, ci)
 
     out_flat = _core_for(h, w)(xf, w49)             # (N, Co, H*W)
