@@ -183,12 +183,14 @@ def _core_for(h, w):
 
 
 def _direct(x, wk):
+    # same-dtype conv: a float32 preferred_element_type would make the
+    # transposed (backward) conv mix a f32 cotangent with bf16 weights,
+    # which lax rejects; XLA accumulates bf16 convs in f32 regardless.
     xp = jnp.pad(x, ((0, 0), (PAD, PAD), (PAD, PAD), (0, 0)),
                  mode="reflect")
     return jax.lax.conv_general_dilated(
         xp, wk, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 def conv_head(x: jax.Array, wk: jax.Array) -> jax.Array:
