@@ -78,7 +78,8 @@ def _fwd_kernel(x_ref, w_ref, out_ref, *, ci, co, h, w):
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _bwd_kernel(x_ref, g_ref, w_ref, dw_ref, dx_ref, *, ci, co, h, w):
+def _bwd_kernel(x_ref, g_ref, w_ref, dw_ref, dx_ref, dwide_ref,
+                *, ci, co, h, w):
     i = pl.program_id(0)
     hw = h * w
 
@@ -92,13 +93,15 @@ def _bwd_kernel(x_ref, g_ref, w_ref, dw_ref, dx_ref, *, ci, co, h, w):
 
     def body(dy, _):
         base = pl.multiple_of(dy * w, 128)
-        wide = x_ref[0, :, pl.ds(base, hw + 128)].astype(jnp.float32)
-        dwide = jnp.zeros((ci, hw + 128), jnp.float32)
+        wide = x_ref[0, :, pl.ds(base, hw + 128)]  # compute dtype
+        # accumulate the window gradient in a SCRATCH ref: carrying the
+        # 17 MB f32 window as a loop value spilled 105 MB of registers
+        dwide_ref[...] = jnp.zeros_like(dwide_ref)
         for dx in range(K7):
             t = dy * K7 + dx
             wtap = w_ref[pl.ds(t, 1)][0]
             dw_ref[pl.ds(t, 1)] += jax.lax.dot_general(
-                g2, wide[:, dx:dx + hw],
+                g2, wide[:, dx:dx + hw].astype(jnp.float32),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )[None]
@@ -107,9 +110,9 @@ def _bwd_kernel(x_ref, g_ref, w_ref, dw_ref, dx_ref, *, ci, co, h, w):
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            # static pad positions dxp at lane offset dx inside the window
-            dwide = dwide + jnp.pad(dxp, ((0, 0), (dx, 128 - dx)))
-        dx_ref[0, :, pl.ds(base, hw + 128)] += dwide.astype(dx_ref.dtype)
+            dwide_ref[:, dx:dx + hw] += dxp
+        dx_ref[0, :, pl.ds(base, hw + 128)] += (
+            dwide_ref[...].astype(dx_ref.dtype))
         return 0
 
     jax.lax.fori_loop(0, K7, body, 0)
@@ -163,6 +166,9 @@ def _make_core(h, w):
             out_shape=[
                 jax.ShapeDtypeStruct((K7 * K7, co, ci), jnp.float32),
                 jax.ShapeDtypeStruct((n, ci, L), xf.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((ci, h * w + 128), jnp.float32),
             ],
             compiler_params=_PARAMS,
             interpret=_interpret(),
