@@ -203,12 +203,14 @@ class ResnetGenerator(nn.Module):
                     kernel_init=ki,
                 )(h)
                 h = _norm_act(h, self.norm, "relu", self.norm_impl)
-        if self.block_impl != "xla" and self.output_nc <= 8:
+        if self.block_impl == "pallas_all" and self.output_nc <= 8:
             # 7x7 head to output_nc channels: ~3% MFU under the direct
-            # lowering (3/128 output lanes) and worse under the pure-XLA
-            # scatter rewrite (probe r3e); the CHW Pallas kernel puts
-            # SPATIAL on the lanes instead (ops/conv_head.py). Params keep
-            # the Conv_3 {kernel, bias} tree; this bias is live (no IN).
+            # lowering (3/128 output lanes). Every rewrite measured WORSE
+            # (probe r3e: XLA scatter form 52 ms, flat-lane Pallas kernel
+            # 43 ms vs 21 ms direct — the 49 misaligned lane-slice
+            # relayouts dominate), so the kernel ships under 'pallas_all'
+            # only, with the direct conv as the production path. Params
+            # keep the Conv_3 {kernel, bias} tree; this bias is live.
             from nemar_tpu.ops.conv_head import conv_head
 
             def head_params(key, cin, cout):

@@ -5,6 +5,15 @@ lowering this runs at ~3% MFU (Cout=3 occupies 3 of the MXU's 128 output
 lanes) — 21 ms fwd+bwd of the 262 ms step, twice per step; the pure-XLA
 scatter rewrite measured worse still (52 ms, probe r3e).
 
+STATUS (probe r3e7): this kernel measures 43 ms fwd+bwd at the production
+shape — 2x SLOWER than the direct lowering. The MXU math is right, but
+the 49 sub-slices of the wide windows are lane-misaligned and each pays a
+full-window relayout copy (~25 GB of VMEM traffic per step at b32). It
+ships under --block_impl pallas_all as a tested, documented attempt; the
+production 'pallas' config keeps the direct conv. A winning version needs
+either misaligned-operand matmul reads or an 8-lane-padded image layout
+(w -> w+pad per row) so every tap offset is lane-aligned — future work.
+
 Design (third iteration — the first two hit Mosaic limits: value reshapes
 across lanes are unsupported, and a 49-stage unrolled body OOM'd the
 compile helper):
