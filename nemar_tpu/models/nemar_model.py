@@ -328,7 +328,11 @@ class NEMARModel(BaseModel):
             # dispatches. The warp of fake_B moves after G (same grid).
             from nemar_tpu.ops.warp import grid_sample
 
-            (warped_A,), reg, aux = stn_apply(cr, ca, cb, (ca,))
+            # n_grad_imgs=0: real_A is data — its d/dimg is never consumed
+            # (R's gradient arrives via the grid); the Pallas warp backward
+            # skips the image-scatter matmul entirely.
+            (warped_A,), reg, aux = stn_apply(cr, ca, cb, (ca,),
+                                              n_grad_imgs=0)
             both = self.netG.apply(
                 cg, jnp.concatenate([ca, warped_A.astype(ca.dtype)], axis=0)
             )
@@ -342,8 +346,11 @@ class NEMARModel(BaseModel):
         else:
             fake_B = self.netG.apply(cg, ca)
             src = (ca, cb) if self.field_source == "pair" else (fake_B, cb)
+            # grad-carrying image FIRST: fake_B needs d/dimg (G's gradient
+            # flows through the warp); real_A is data and does not — the
+            # Pallas backward drops its half of the scatter matmul.
             (reg_fakeB, warped_A), reg, aux = stn_apply(
-                cr, src[0], src[1], (fake_B, ca)
+                cr, src[0], src[1], (fake_B, ca), n_grad_imgs=1
             )
             fake_B2 = self.netG.apply(cg, warped_A)
         out = {

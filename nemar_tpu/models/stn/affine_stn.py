@@ -67,7 +67,8 @@ class AffineSTN(nn.Module):
         return dtheta.reshape(-1, 2, 3)
 
     def __call__(
-        self, a: jax.Array, b: jax.Array, imgs: Sequence[jax.Array] = ()
+        self, a: jax.Array, b: jax.Array, imgs: Sequence[jax.Array] = (),
+        n_grad_imgs: int = -1,
     ) -> Tuple[Tuple[jax.Array, ...], jax.Array, dict]:
         """Returns (warped imgs, reg term, aux dict with 'theta'/'grid')."""
         dtheta = self.predict_dtheta(a, b)
@@ -80,6 +81,7 @@ class AffineSTN(nn.Module):
             grid_sample_multi(
                 imgs, grid, mode="bilinear", padding_mode=self.padding_mode,
                 align_corners=self.align_corners, impl=self.warp_impl,
+                n_grad_imgs=n_grad_imgs,
             )
             if imgs else ()
         )

@@ -135,7 +135,8 @@ class UnetSTN(nn.Module):
         return flow, level_reg
 
     def __call__(
-        self, a: jax.Array, b: jax.Array, imgs: Sequence[jax.Array] = ()
+        self, a: jax.Array, b: jax.Array, imgs: Sequence[jax.Array] = (),
+        n_grad_imgs: int = -1,
     ) -> Tuple[Tuple[jax.Array, ...], jax.Array, dict]:
         """Returns (warped imgs, smoothness reg, aux dict with 'flow')."""
         flow, level_reg = self.predict_flow(a, b)
@@ -153,6 +154,7 @@ class UnetSTN(nn.Module):
             grid_sample_multi(
                 imgs, grid, mode="bilinear", padding_mode=self.padding_mode,
                 align_corners=self.align_corners, impl=self.warp_impl,
+                n_grad_imgs=n_grad_imgs,
             )
             if imgs else ()
         )

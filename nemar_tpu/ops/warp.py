@@ -331,7 +331,8 @@ def _mm_core(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mode", "padding_mode", "align_corners", "impl")
+    jax.jit, static_argnames=("mode", "padding_mode", "align_corners", "impl",
+                              "grad_channels")
 )
 def grid_sample(
     img: jax.Array,
@@ -340,6 +341,7 @@ def grid_sample(
     padding_mode: str = "zeros",
     align_corners: bool = False,
     impl: str = "auto",
+    grad_channels: int = -1,
 ) -> jax.Array:
     """Sample `img` (N, H, W, C) at `grid` (N, Ho, Wo, 2) locations.
 
@@ -365,7 +367,8 @@ def grid_sample(
         from nemar_tpu.ops import warp_pallas
 
         return warp_pallas.grid_sample_pallas(
-            img, grid, mode=mode, padding_mode=padding_mode, align_corners=align_corners
+            img, grid, mode=mode, padding_mode=padding_mode,
+            align_corners=align_corners, grad_channels=grad_channels,
         )
     if impl == "mm":
         return _grid_sample_mm(img, grid, mode, padding_mode, align_corners)
@@ -416,6 +419,7 @@ def grid_sample_multi(
     padding_mode: str = "zeros",
     align_corners: bool = False,
     impl: str = "auto",
+    n_grad_imgs: int = -1,
 ):
     """Sample several images at the SAME grid in one call.
 
@@ -423,15 +427,26 @@ def grid_sample_multi(
     tap construction (the expensive part on TPU — one-hot builds dominate
     the MXU value contraction) is shared across all images instead of paid
     per image.
+
+    n_grad_imgs >= 0: only the first n images need d/dimg (order the
+    gradient-carrying images FIRST). The rest are stop-gradiented and the
+    Pallas backward skips their scatter matmul; grid gradients are always
+    complete.
     """
+    gc = -1
+    if 0 <= n_grad_imgs < len(imgs):
+        gc = sum(img.shape[-1] for img in imgs[:n_grad_imgs])
+        imgs = tuple(imgs[:n_grad_imgs]) + tuple(
+            jax.lax.stop_gradient(img) for img in imgs[n_grad_imgs:])
     if len(imgs) == 1:
         return (grid_sample(imgs[0], grid, mode=mode, padding_mode=padding_mode,
-                            align_corners=align_corners, impl=impl),)
+                            align_corners=align_corners, impl=impl,
+                            grad_channels=gc),)
     sizes = [img.shape[-1] for img in imgs]
     dt = imgs[0].dtype
     cat = jnp.concatenate([img.astype(dt) for img in imgs], axis=-1)
     out = grid_sample(cat, grid, mode=mode, padding_mode=padding_mode,
-                      align_corners=align_corners, impl=impl)
+                      align_corners=align_corners, impl=impl, grad_channels=gc)
     splits = []
     acc = 0
     for s in sizes[:-1]:

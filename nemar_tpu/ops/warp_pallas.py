@@ -163,7 +163,7 @@ def _fwd_pallas(img_p, x_row, y_row, rowstart, *, s, mxu_bf16=False):
 
 
 def _bwd_kernel(rowstart_ref, x_ref, y_ref, img_ref, g_ref,
-                dimg_ref, dx_ref, dy_ref, *, c, s, w, mxu_bf16):
+                dimg_ref, dx_ref, dy_ref, *, c, s, w, mxu_bf16, gc):
     t = pl.program_id(1)
     rs = rowstart_ref[pl.program_id(0), t]
     xrow = x_ref[0, 0]                 # (1, P)
@@ -206,22 +206,31 @@ def _bwd_kernel(rowstart_ref, x_ref, y_ref, img_ref, g_ref,
     dx_ref[0, 0] = dx
     dy_ref[0, 0] = dy
 
-    # dslab[cs, w] = Σ_p (g_c[p]·AyT[s,p]) · BxT[w,p]   (one MXU call)
-    dxslab_all = jnp.concatenate(
-        [gs[ci] * ayt for ci in range(c)], axis=0
-    ).astype(mm)                        # (C·S, P)
-    dslab_all = jax.lax.dot_general(
-        dxslab_all, bxt_m, dimension_numbers=_CONTRACT_P,
-        preferred_element_type=jnp.float32, precision=prec,
-    )                                   # (C·S, W)
-    for ci in range(c):
-        dimg_ref[0, ci, pl.ds(rs_al, s), :] += dslab_all[ci * s : (ci + 1) * s, :]
+    # dslab[cs, w] = Σ_p (g_c[p]·AyT[s,p]) · BxT[w,p]   (one MXU call).
+    # Only the first gc channels get an image gradient: the model warps
+    # (fake_B, real_A) in one multi call and real_A is DATA — skipping its
+    # d/dimg halves this matmul's M and the scatter traffic (the dx/dy
+    # grid gradients above still cover every channel).
+    if gc > 0:
+        dxslab_all = jnp.concatenate(
+            [gs[ci] * ayt for ci in range(gc)], axis=0
+        ).astype(mm)                    # (gc·S, P)
+        dslab_all = jax.lax.dot_general(
+            dxslab_all, bxt_m, dimension_numbers=_CONTRACT_P,
+            preferred_element_type=jnp.float32, precision=prec,
+        )                               # (gc·S, W)
+        for ci in range(gc):
+            dimg_ref[0, ci, pl.ds(rs_al, s), :] += (
+                dslab_all[ci * s : (ci + 1) * s, :])
 
 
-def _bwd_pallas(img_p, x_row, y_row, rowstart, g, *, s, mxu_bf16=False):
+def _bwd_pallas(img_p, x_row, y_row, rowstart, g, *, s, mxu_bf16=False, gc=-1):
     n, c, h, w = img_p.shape
+    if gc < 0:
+        gc = c
     nt, p = x_row.shape[1], x_row.shape[3]
-    kernel = functools.partial(_bwd_kernel, c=c, s=s, w=w, mxu_bf16=mxu_bf16)
+    kernel = functools.partial(_bwd_kernel, c=c, s=s, w=w, mxu_bf16=mxu_bf16,
+                               gc=gc)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n, nt),
@@ -273,22 +282,22 @@ def _rowstarts_rows(y_row, h, s):
     return start, ok
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _warp_core(img_p, x_row, y_row, s, mxu_bf16):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _warp_core(img_p, x_row, y_row, s, mxu_bf16, grad_channels=-1):
     rowstart, _ = _rowstarts_rows(y_row, img_p.shape[2], s)
     return _fwd_pallas(img_p, x_row, y_row, rowstart, s=s, mxu_bf16=mxu_bf16)
 
 
-def _warp_core_fwd(img_p, x_row, y_row, s, mxu_bf16):
+def _warp_core_fwd(img_p, x_row, y_row, s, mxu_bf16, grad_channels=-1):
     rowstart, _ = _rowstarts_rows(y_row, img_p.shape[2], s)
     out = _fwd_pallas(img_p, x_row, y_row, rowstart, s=s, mxu_bf16=mxu_bf16)
     return out, (img_p, x_row, y_row, rowstart)
 
 
-def _warp_core_bwd(s, mxu_bf16, res, g):
+def _warp_core_bwd(s, mxu_bf16, grad_channels, res, g):
     img_p, x_row, y_row, rowstart = res
     dimg, dx, dy = _bwd_pallas(img_p, x_row, y_row, rowstart, g, s=s,
-                               mxu_bf16=mxu_bf16)
+                               mxu_bf16=mxu_bf16, gc=grad_channels)
     return dimg, dx, dy
 
 
@@ -322,12 +331,19 @@ def grid_sample_pallas(
     align_corners: bool = False,
     max_disp_px: int = 16,
     tile_rows: int = 8,
+    grad_channels: int = -1,
 ) -> jax.Array:
     """grid_sample with the Pallas slab kernel (exact; auto-fallback to mm).
 
     See module docstring. Falls back to impl='mm' entirely when shapes are
     unsupported, and per-call via lax.cond when a tile's row span exceeds
     the slab (keeps results exact for unbounded warps like rotations).
+
+    grad_channels >= 0 limits d/dimg to the first `grad_channels` channels
+    (the rest receive exact zeros) — callers that warp data tensors whose
+    image gradient is never consumed (e.g. real_A in the NeMAR multi-warp)
+    skip a third of the backward kernel's MXU work. The dx/dy grid
+    gradients are always complete.
     """
     from nemar_tpu.ops import warp as warp_mod
 
@@ -371,7 +387,7 @@ def grid_sample_pallas(
 
     def fast(args):
         i, xr, yr = args
-        out = _warp_core(i, xr, yr, s, mxu_bf16)  # (N, T, C, 1, P)
+        out = _warp_core(i, xr, yr, s, mxu_bf16, grad_channels)  # (N,T,C,1,P)
         return jnp.transpose(out[:, :, :, 0, :], (0, 2, 1, 3)).reshape(n, c, gh, w)
 
     def slow(args):

@@ -59,9 +59,18 @@ def main():
         "--batch_size", "8", "--synthetic_size", str(size),
         "--synthetic_pad_crop", "--synthetic_appearance", "smooth",
         "--recon_pyramid", "3", "--border_mask",
-    ] + (["--stn_multiscale", "--stn_level_scale", "0.25",
-          "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
-          "--stn_grad_clip", "0.5"]
+    ] + ((["--stn_multiscale", "--stn_level_scale", "0.25",
+           "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
+           "--stn_grad_clip", "0.5"] if res < 256 else
+          # v10 scaling (round 3): verbatim v7 DIVERGES at 256² (flow
+          # saturates ~130 px). TV smoothness is mean |Δflow per px| in
+          # normalized units -> same physical field has 4x smaller per-px
+          # deltas at 256², so lambda_smooth x4; stn_depth 6 adds two
+          # coarser (4x-larger-cell) heads -> halve level_scale and clip.
+          ["--stn_multiscale", "--stn_level_scale", "0.12",
+           "--lambda_smooth", "40",
+           "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "12",
+           "--stn_grad_clip", "0.25"])
          if stn == "unet" else
          ["--synthetic_fresh_affine", "--lambda_smooth", "0.1",
           "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "5",

@@ -222,6 +222,31 @@ CONFIGS = {
                 "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
                 "--stn_grad_clip", "0.5",
                 "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # v10 (round 3): the v7 recipe transplanted verbatim to 256² DIVERGES
+    # (flow saturates at ~130 px while cos_tr goes negative — sci_256 log).
+    # Two scalings the 64² recipe left implicit:
+    #   (a) smoothness: TV is mean |Δflow per PIXEL| in normalized units —
+    #       the same physical field has 4x smaller per-px deltas at 256²,
+    #       so lambda_smooth must scale ~x4 (default 10 -> 40);
+    #   (b) head damping: stn_depth 6 (vs 4) adds two coarser heads whose
+    #       cell size is 4x larger in px — level_scale and grad clip must
+    #       shrink accordingly.
+    "v10_256_damped": ["--synthetic_pad_crop", "--synthetic_appearance",
+                       "smooth", "--recon_pyramid", "3", "--border_mask",
+                       "--stn_multiscale", "--stn_level_scale", "0.12",
+                       "--lambda_smooth", "40",
+                       "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "12",
+                       "--stn_grad_clip", "0.25",
+                       "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
+    # insurance arm: tanh-bounded field (0.15 normalized = 19 px, ~2x the
+    # 10 px task) makes the explosion impossible by construction
+    "v10_256_bounded": ["--synthetic_pad_crop", "--synthetic_appearance",
+                        "smooth", "--recon_pyramid", "3", "--border_mask",
+                        "--stn_multiscale", "--stn_level_scale", "0.25",
+                        "--lambda_smooth", "40", "--stn_bounded_flow", "0.15",
+                        "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
+                        "--stn_grad_clip", "0.5",
+                        "--stn_lr", "1e-3", "--stn_beta1", "0.9"],
 }
 
 

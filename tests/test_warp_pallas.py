@@ -98,3 +98,45 @@ class TestBackward:
         d1 = jax.grad(lambda f: loss(f, "pallas"))(flow)
         d2 = jax.grad(lambda f: loss(f, "xla"))(flow)
         np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
+
+
+class TestGradChannels:
+    """grad_channels: d/dimg restricted to the first gc channels (the
+    NeMAR multi-warp skips real_A's image scatter — nemar_model
+    _forward_parts); grid gradients must stay complete."""
+
+    def test_partial_img_grad(self, rng):
+        img, grid = _mk(rng, n=1, h=16, w=128, c=4)
+        ct = jnp.asarray(rng.standard_normal((1, 16, 128, 4), dtype=np.float32))
+
+        def loss(i, g, gc):
+            out = warp_pallas.grid_sample_pallas(i, g, grad_channels=gc)
+            return jnp.sum(out * ct)
+
+        d_full = jax.grad(loss, argnums=(0, 1))(img, grid, -1)
+        d_part = jax.grad(loss, argnums=(0, 1))(img, grid, 2)
+        # first 2 channels identical, rest exactly zero
+        np.testing.assert_allclose(
+            np.asarray(d_part[0][..., :2]), np.asarray(d_full[0][..., :2]),
+            atol=1e-6)
+        assert float(np.abs(np.asarray(d_part[0][..., 2:])).max()) == 0.0
+        # grid gradient unaffected
+        np.testing.assert_allclose(
+            np.asarray(d_part[1]), np.asarray(d_full[1]), atol=1e-6)
+
+    def test_multi_n_grad_imgs(self, rng):
+        from nemar_tpu.ops.warp import grid_sample_multi
+
+        a = jnp.asarray(rng.standard_normal((1, 16, 128, 3), dtype=np.float32))
+        b = jnp.asarray(rng.standard_normal((1, 16, 128, 1), dtype=np.float32))
+        _, grid = _mk(rng, n=1, h=16, w=128, c=1)
+
+        def loss(x, impl, ng):
+            wa, wb = grid_sample_multi((x, b), grid, impl=impl,
+                                       n_grad_imgs=ng)
+            return jnp.mean(jnp.square(wa)) + jnp.mean(jnp.square(wb))
+
+        d_ref = jax.grad(lambda x: loss(x, "xla", -1))(a)
+        d_got = jax.grad(lambda x: loss(x, "pallas", 1))(a)
+        np.testing.assert_allclose(np.asarray(d_got), np.asarray(d_ref),
+                                   atol=1e-4)
