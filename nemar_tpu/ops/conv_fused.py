@@ -179,16 +179,30 @@ def _pad_adjoint(dpad_ref, h, w):
     return dpad_ref[1:h + 1, 1:w + 1, :]
 
 
-def _scatter9(dz3, w_ref, dpad_ref, h, w, c):
-    """dpad += Σ taps shift(dz @ W[dy,dx]^T); dz3 (HW, C) fp32."""
-    dpad_ref[...] = jnp.zeros_like(dpad_ref)
+def _conv_adjoint(dz3, w_ref, dzp_ref, dpad_ref, h, w, c):
+    """dpad <- full-correlation of dz with W^T (the conv-input adjoint).
+
+    dPx[a,b] = Σ_{dy,dx} dz[a-dy, b-dx] @ W[dy,dx]^T, computed as 9
+    shifted-slab matmuls over a zero-padded dz (slab offset (2-dy, 2-dx))
+    with REGISTER accumulation — the earlier scatter formulation paid 9
+    read-modify-write passes over the fp32 (H+2,W+2,C) scratch (~80 MB of
+    VPU traffic per sample per conv); this form writes it once. Operands
+    stay in the compute dtype (bf16 in production) with fp32 accumulation
+    — the same contract as XLA's bf16 conv autodiff.
+    """
+    dzp_ref[...] = jnp.zeros_like(dzp_ref)
+    dzp_ref[2:h + 2, 2:w + 2, :] = dz3.reshape(h, w, c)
+    acc = None
     for dy, dx in _TAPS:
-        contrib = jax.lax.dot_general(
-            dz3, w_ref[dy, dx],
+        slab = dzp_ref[2 - dy:h + 4 - dy, 2 - dx:w + 4 - dx, :].reshape(
+            (h + 2) * (w + 2), c)
+        p = jax.lax.dot_general(
+            slab, w_ref[dy, dx],
             dimension_numbers=(((1,), (1,)), ((), ())),  # contract out-ch
             preferred_element_type=jnp.float32,
         )
-        dpad_ref[dy:dy + h, dx:dx + w, :] += contrib.reshape(h, w, c)
+        acc = p if acc is None else acc + p
+    dpad_ref[...] = acc.reshape(h + 2, w + 2, c)
 
 
 def _dw9(pad_ref, dz3, dw_ref, first, h, w, c):
@@ -196,7 +210,7 @@ def _dw9(pad_ref, dz3, dw_ref, first, h, w, c):
     for dy, dx in _TAPS:
         slab = pad_ref[dy:dy + h, dx:dx + w, :].reshape(h * w, c)
         d = jax.lax.dot_general(
-            slab.astype(jnp.float32), dz3,
+            slab, dz3,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -211,7 +225,7 @@ def _dw9(pad_ref, dz3, dw_ref, first, h, w, c):
 
 
 def _bwd2_kernel(st_ref, x_ref, y1_ref, out_ref, g_ref, w2_ref,
-                 dw2_ref, dh1_ref, pad_ref, dpad_ref, *, h, w, c):
+                 dw2_ref, dh1_ref, pad_ref, dpad_ref, dzp_ref, *, h, w, c):
     """Stage B2: through IN2 and conv2 -> (dW2, dh1)."""
     i = pl.program_id(0)
     hw = float(h * w)
@@ -219,20 +233,22 @@ def _bwd2_kernel(st_ref, x_ref, y1_ref, out_ref, g_ref, w2_ref,
     y2hat = (out_ref[0].astype(jnp.float32)
              - x_ref[0].astype(jnp.float32)).reshape(h * w, c)
     rstd2 = st_ref[0, 3:4, :]
-    dz2 = _in_bwd(g, y2hat, rstd2, hw)
+    # IN-bwd statistics in fp32; the conv-adjoint matmul operands drop to
+    # the compute dtype (see _scatter9) with fp32 accumulation.
+    dz2 = _in_bwd(g, y2hat, rstd2, hw).astype(x_ref.dtype)
 
     # h1 = relu(y1hat); its padded form feeds both dW2 and nothing else
     h1 = jnp.maximum(y1_ref[0].astype(jnp.float32), 0.0).astype(x_ref.dtype)
     _fill_pad(pad_ref, h1, h, w)
     _dw9(pad_ref, dz2, dw2_ref, i == 0, h, w, c)
 
-    _scatter9(dz2, w2_ref, dpad_ref, h, w, c)
+    _conv_adjoint(dz2, w2_ref, dzp_ref, dpad_ref, h, w, c)
     dh1 = _pad_adjoint(dpad_ref, h, w)
     dh1_ref[0] = dh1.astype(dh1_ref.dtype)
 
 
 def _bwd1_kernel(st_ref, x_ref, y1_ref, g_ref, dh1_ref, w1_ref,
-                 dw1_ref, dx_ref, pad_ref, dpad_ref, *, h, w, c):
+                 dw1_ref, dx_ref, pad_ref, dpad_ref, dzp_ref, *, h, w, c):
     """Stage B1: through relu, IN1, conv1 -> (dW1, dx = g + conv1-adjoint)."""
     i = pl.program_id(0)
     hw = float(h * w)
@@ -240,12 +256,12 @@ def _bwd1_kernel(st_ref, x_ref, y1_ref, g_ref, dh1_ref, w1_ref,
     gh = dh1_ref[0].astype(jnp.float32).reshape(h * w, c)
     gh = gh * (y1hat > 0.0)
     rstd1 = st_ref[0, 1:2, :]
-    dz1 = _in_bwd(gh, y1hat, rstd1, hw)
+    dz1 = _in_bwd(gh, y1hat, rstd1, hw).astype(x_ref.dtype)
 
     _fill_pad(pad_ref, x_ref[0], h, w)
     _dw9(pad_ref, dz1, dw1_ref, i == 0, h, w, c)
 
-    _scatter9(dz1, w1_ref, dpad_ref, h, w, c)
+    _conv_adjoint(dz1, w1_ref, dzp_ref, dpad_ref, h, w, c)
     dx_conv = _pad_adjoint(dpad_ref, h, w)
     dx_ref[0] = (g_ref[0].astype(jnp.float32) + dx_conv).astype(dx_ref.dtype)
 
@@ -267,6 +283,7 @@ def _bwd_pallas(x, y1, st, out, g, w1, w2):
                            memory_space=pltpu.VMEM)
     pad = pltpu.VMEM((h + 2, w_ + 2, c), cdt)
     dpad = pltpu.VMEM((h + 2, w_ + 2, c), jnp.float32)
+    dzp = pltpu.VMEM((h + 4, w_ + 4, c), cdt)
 
     dw2, dh1 = pl.pallas_call(
         functools.partial(_bwd2_kernel, h=h, w=w_, c=c),
@@ -277,7 +294,7 @@ def _bwd_pallas(x, y1, st, out, g, w1, w2):
             jax.ShapeDtypeStruct((3, 3, c, c), jnp.float32),
             jax.ShapeDtypeStruct((n, h, w_, c), cdt),
         ],
-        scratch_shapes=[pad, dpad],
+        scratch_shapes=[pad, dpad, dzp],
         **common,
     )(st, x, y1, out, g, w2)
 
@@ -290,7 +307,7 @@ def _bwd_pallas(x, y1, st, out, g, w1, w2):
             jax.ShapeDtypeStruct((3, 3, c, c), jnp.float32),
             jax.ShapeDtypeStruct((n, h, w_, c), cdt),
         ],
-        scratch_shapes=[pad, dpad],
+        scratch_shapes=[pad, dpad, dzp],
         **common,
     )(st, x, y1, g, dh1, w1)
 
