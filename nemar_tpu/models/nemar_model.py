@@ -84,6 +84,13 @@ class NEMARModel(BaseModel):
                                  "cues)")
         parser.add_argument("--stn_smooth_type", type=str, default="l1",
                             help="first-difference penalty type [l1 | l2]")
+        parser.add_argument("--stn_smooth_order", type=int, default=1,
+                            choices=(1, 2),
+                            help="TV difference order; 2 penalizes curvature "
+                                 "only — zero for affine fields, so it does "
+                                 "not fight field magnitude (round-3 256² "
+                                 "science: order-1 TV under-scales affine "
+                                 "flow to ~40%% at cos 0.998)")
         parser.add_argument("--stn_padding_mode", type=str, default="zeros",
                             help="grid_sample padding [zeros | border | reflection]")
         parser.add_argument("--stn_bounded_flow", type=float, default=0.0,

@@ -38,6 +38,7 @@ def define_stn(opt, stn_type: str):
             depth=getattr(opt, "stn_depth", 5),
             flow_scale=getattr(opt, "stn_flow_scale", 1.0),
             smooth_type=getattr(opt, "stn_smooth_type", "l1"),
+            smooth_order=getattr(opt, "stn_smooth_order", 1),
             padding_mode=getattr(opt, "stn_padding_mode", "zeros"),
             bounded_flow=getattr(opt, "stn_bounded_flow", 0.0),
             align_corners=ac,

@@ -28,10 +28,23 @@ from nemar_tpu.ops.warp import grid_sample_multi, identity_grid
 conv_init = nn.initializers.normal(stddev=0.02)
 
 
-def smoothness_loss(flow: jax.Array, smooth_type: str = "l1") -> jax.Array:
-    """First-difference TV penalty on a (N, H, W, 2) field."""
+def smoothness_loss(flow: jax.Array, smooth_type: str = "l1",
+                    order: int = 1) -> jax.Array:
+    """Difference-based TV penalty on a (N, H, W, 2) field.
+
+    order=1 is the reference's first-difference TV. For an AFFINE
+    misalignment the flow grows linearly across the image, so its first
+    differences are a constant ∝ |A| — first-order TV directly penalizes
+    the field's magnitude and sets an equilibrium below the true warp
+    (round-3 256² finding: cos 0.998 but 40% magnitude). order=2
+    penalizes CURVATURE (second differences), which is exactly zero for
+    affine fields and still regularizes deformable ones.
+    """
     dy = flow[:, 1:, :, :] - flow[:, :-1, :, :]
     dx = flow[:, :, 1:, :] - flow[:, :, :-1, :]
+    if order == 2:
+        dy = dy[:, 1:, :, :] - dy[:, :-1, :, :]
+        dx = dx[:, :, 1:, :] - dx[:, :, :-1, :]
     if smooth_type == "l1":
         return jnp.mean(jnp.abs(dy)) + jnp.mean(jnp.abs(dx))
     if smooth_type == "l2":
@@ -45,6 +58,7 @@ class UnetSTN(nn.Module):
     depth: int = 5
     flow_scale: float = 1.0
     smooth_type: str = "l1"
+    smooth_order: int = 1
     padding_mode: str = "zeros"
     align_corners: bool = False
     warp_impl: str = "auto"
@@ -118,10 +132,12 @@ class UnetSTN(nn.Module):
         # upsampled sum.
         from nemar_tpu.ops.warp import compose_flows
 
-        level_reg = smoothness_loss(flows[0], self.smooth_type)
+        level_reg = smoothness_loss(flows[0], self.smooth_type,
+                                    self.smooth_order)
         flow = jax.image.resize(flows[0], (n, hh, ww, 2), method="bilinear")
         for f in flows[1:]:
-            level_reg = level_reg + smoothness_loss(f, self.smooth_type)
+            level_reg = level_reg + smoothness_loss(
+                f, self.smooth_type, self.smooth_order)
             f_full = (
                 f if f.shape[1] == hh
                 else jax.image.resize(f, (n, hh, ww, 2), method="bilinear")
@@ -160,5 +176,6 @@ class UnetSTN(nn.Module):
         )
         # multiscale: level-wise TV (each head at its own resolution);
         # single-head: TV of the final field (identical to round 1)
-        reg = level_reg if self.multiscale else smoothness_loss(flow, self.smooth_type)
+        reg = (level_reg if self.multiscale else
+               smoothness_loss(flow, self.smooth_type, self.smooth_order))
         return warped, reg, {"flow": flow, "grid": grid}

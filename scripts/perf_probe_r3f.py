@@ -62,7 +62,7 @@ def timeit(f, args, steps=8, trials=3, label=""):
     return best * 1e3
 
 
-def bench_step():
+def bench_step(impl: str = "pallas"):
     from nemar_tpu.models import create_model
     from nemar_tpu.options import TrainOptions
 
@@ -72,7 +72,7 @@ def bench_step():
         "--crop_size", "256", "--load_size", "256", "--batch_size", str(B),
         "--netG", "resnet_6blocks", "--stn_type", "unet",
         "--gan_mode", "lsgan", "--pool_size", "0", "--bf16",
-        "--block_impl", "pallas",
+        "--block_impl", impl,
     ]
     old = sys.stdout
     sys.stdout = sys.stderr
@@ -94,7 +94,7 @@ def bench_step():
     t0 = time.time()
     model.optimize_parameters()
     float(model.get_current_losses()["G"])
-    log(f"step_p: compile+first {time.time() - t0:.1f}s")
+    log(f"step_{impl[0]}: compile+first {time.time() - t0:.1f}s")
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
@@ -102,7 +102,7 @@ def bench_step():
             model.optimize_parameters()
         float(model.get_current_losses()["G"])
         best = min(best, (time.time() - t0) / 8)
-    log(f"step_p: best {best * 1e3:.1f} ms -> {B / best:.1f} pairs/s")
+    log(f"step_{impl[0]}: best {best * 1e3:.1f} ms -> {B / best:.1f} pairs/s")
     return best * 1e3
 
 
@@ -222,6 +222,7 @@ def main():
         "enc": lambda: bench_enc(False),
         "trunkf": bench_trunkf,
         "step_p": bench_step,
+        "step_x": lambda: bench_step("xla"),
     }
     for name, fn in table.items():
         if only and name not in only:

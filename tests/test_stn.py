@@ -80,3 +80,16 @@ class TestSmoothness:
         # dy: one step of size 1 across all (2 cols, 2 chan) -> mean |dy| = 1
         # dx: zero
         np.testing.assert_allclose(float(smoothness_loss(f, "l1")), 1.0)
+
+    def test_order2_zero_for_affine_field(self):
+        # An affine misalignment's flow is linear in (x, y); second
+        # differences vanish, so order-2 TV must not penalize it at all
+        # (the round-3 256² magnitude-suppression fix).
+        ys, xs = jnp.meshgrid(jnp.arange(8.0), jnp.arange(8.0), indexing="ij")
+        f = jnp.stack([0.3 * xs - 0.1 * ys + 0.7, 0.05 * xs + 0.2 * ys],
+                      axis=-1)[None]
+        assert float(smoothness_loss(f, "l1", order=1)) > 0.0
+        np.testing.assert_allclose(
+            float(smoothness_loss(f, "l1", order=2)), 0.0, atol=1e-6)
+        np.testing.assert_allclose(
+            float(smoothness_loss(f, "l2", order=2)), 0.0, atol=1e-12)
