@@ -67,8 +67,13 @@ def main():
           # normalized units -> same physical field has 4x smaller per-px
           # deltas at 256², so lambda_smooth x4; stn_depth 6 adds two
           # coarser (4x-larger-cell) heads -> halve level_scale and clip.
+          # order-2 TV (curvature): round-3 v10 runs reached cos 0.998 but
+          # only ~40% field magnitude — order-1 TV penalizes an affine
+          # field's magnitude directly (constant first differences), so
+          # lambda 40 sets an equilibrium below the true warp. Curvature
+          # is zero for the affine GT and still regularizes deformations.
           ["--stn_multiscale", "--stn_level_scale", "0.12",
-           "--lambda_smooth", "40",
+           "--lambda_smooth", "40", "--stn_smooth_order", "2",
            "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "12",
            "--stn_grad_clip", "0.25"])
          if stn == "unet" else
@@ -148,7 +153,14 @@ def main():
         model._train_step_impl, donate_argnums=(0,)
     )
     for epoch in range(1, e2 + 1):
-        model.set_epoch(e1)  # flat pre-decay lr for the whole refine phase
+        model.set_epoch(e1)  # schedules (warm-up/ramp) pinned past ramp
+        # Refinement needs a REAL learning rate: by e1+e1d the P1 schedule
+        # has decayed current_lr to ~0, and update_learning_rate is never
+        # called here — round-3 audit: every earlier "refine" phase ran at
+        # lr=0 and was inert (P2 rows identical to the last P1 row in all
+        # committed science logs). Restore the peak LR and decay it
+        # linearly to 0 across the refine epochs.
+        model.current_lr = opt.lr * (1.0 - (epoch - 1) / max(e2, 1))
         for data in dataset:
             model.set_input(data)
             model.optimize_parameters()
