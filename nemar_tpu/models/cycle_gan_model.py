@@ -72,6 +72,7 @@ class CycleGANModel(BaseModel):
                 not opt.no_dropout, opt.init_type, opt.init_gain, norm_impl,
                 getattr(opt, "remat", False),
                 getattr(opt, "block_impl", "xla"),
+                getattr(opt, "c7_impl", "xla"),
             )
 
         def make_d():

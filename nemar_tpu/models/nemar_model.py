@@ -193,6 +193,7 @@ class NEMARModel(BaseModel):
             not opt.no_dropout, opt.init_type, opt.init_gain, norm_impl,
             getattr(opt, "remat", False),
             getattr(opt, "block_impl", "xla"),
+            getattr(opt, "c7_impl", "xla"),
         )
         self.netD = networks.define_D(
             opt.output_nc, opt.ndf, opt.netD, opt.n_layers_D, opt.norm,

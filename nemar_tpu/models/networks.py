@@ -146,18 +146,46 @@ class ResnetGenerator(nn.Module):
     kernel_init: Callable = conv_init
     use_remat: bool = False  # jax.checkpoint each ResnetBlock (512^2 configs)
     block_impl: str = "xla"  # 'pallas': fused trunk | 'pallas_all': +decoder
+    c7_impl: str = "xla"  # 'xla' | 's2d': blocked rewrite of the c7s1 convs
+
+    def _c7_params(self, name, cin, cout):
+        """{kernel, bias} tree under `name` — identical to what nn.Conv
+        would create, so checkpoints swap freely between c7 impls."""
+        ki = self.kernel_init
+
+        def init(key, cin, cout):
+            kk, _ = jax.random.split(key)
+            return {"kernel": ki(kk, (7, 7, cin, cout), jnp.float32),
+                    "bias": jnp.zeros((cout,), jnp.float32)}
+
+        return self.param(name, init, cin, cout)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         ki = self.kernel_init
-        h = reflect_pad(x, 3)
-        h = nn.Conv(self.ngf, (7, 7), padding="VALID", kernel_init=ki)(h)
+        # s2d (ops/conv_s2d.py): exact blocked rewrite of the two c7s1
+        # convs — the head's 3-lane output (and the encoder conv's 3-lane
+        # backward-d/dinput) run at ~3% MFU under the direct lowering.
+        from nemar_tpu.ops.conv_s2d import conv7_s2d, conv7_s2d_supported
+
+        use_s2d = self.c7_impl == "s2d" and conv7_s2d_supported(x.shape)
+        # Explicit names pin the auto-naming layout (Conv_0..Conv_3) so the
+        # manual-param branches below stay checkpoint-compatible.
+        if use_s2d:
+            p0 = self._c7_params("Conv_0", x.shape[-1], self.ngf)
+            h = (conv7_s2d(x, p0["kernel"].astype(x.dtype))
+                 + p0["bias"].astype(x.dtype))
+        else:
+            h = reflect_pad(x, 3)
+            h = nn.Conv(self.ngf, (7, 7), padding="VALID", kernel_init=ki,
+                        name="Conv_0")(h)
         h = _norm_act(h, self.norm, "relu", self.norm_impl)
         for i in range(self.n_downsampling):
             mult = 2**i
             h = nn.Conv(
                 self.ngf * mult * 2, (3, 3), strides=(2, 2),
                 padding=((1, 1), (1, 1)), kernel_init=ki,
+                name=f"Conv_{i + 1}",
             )(h)
             h = _norm_act(h, self.norm, "relu", self.norm_impl)
         block_cls = (
@@ -203,7 +231,12 @@ class ResnetGenerator(nn.Module):
                     kernel_init=ki,
                 )(h)
                 h = _norm_act(h, self.norm, "relu", self.norm_impl)
-        if self.block_impl == "pallas_all" and self.output_nc <= 8:
+        head_name = f"Conv_{1 + self.n_downsampling}"
+        if use_s2d:
+            ph = self._c7_params(head_name, h.shape[-1], self.output_nc)
+            h = (conv7_s2d(h, ph["kernel"].astype(h.dtype))
+                 + ph["bias"].astype(h.dtype))
+        elif self.block_impl == "pallas_all" and self.output_nc <= 8:
             # 7x7 head to output_nc channels: ~3% MFU under the direct
             # lowering (3/128 output lanes). Every rewrite measured WORSE
             # (probe r3e: XLA scatter form 52 ms, flat-lane Pallas kernel
@@ -218,13 +251,14 @@ class ResnetGenerator(nn.Module):
                 return {"kernel": ki(kk, (7, 7, cin, cout), jnp.float32),
                         "bias": jnp.zeros((cout,), jnp.float32)}
 
-            ph = self.param("Conv_3", head_params, h.shape[-1], self.output_nc)
+            ph = self.param(head_name, head_params, h.shape[-1],
+                            self.output_nc)
             h = conv_head(h, ph["kernel"].astype(h.dtype))
             h = h + ph["bias"].astype(h.dtype)
         else:
             h = reflect_pad(h, 3)
             h = nn.Conv(self.output_nc, (7, 7), padding="VALID",
-                        kernel_init=ki)(h)
+                        kernel_init=ki, name=head_name)(h)
         return jnp.tanh(h)
 
 
@@ -356,14 +390,15 @@ def define_G(
     norm_impl: str = "xla",
     use_remat: bool = False,
     block_impl: str = "xla",
+    c7_impl: str = "xla",
 ) -> nn.Module:
     ki = _make_init(init_type, init_gain)
     if netG == "resnet_9blocks":
         return ResnetGenerator(output_nc, ngf, 9, 2, norm, use_dropout,
-                               norm_impl, ki, use_remat, block_impl)
+                               norm_impl, ki, use_remat, block_impl, c7_impl)
     if netG == "resnet_6blocks":
         return ResnetGenerator(output_nc, ngf, 6, 2, norm, use_dropout,
-                               norm_impl, ki, use_remat, block_impl)
+                               norm_impl, ki, use_remat, block_impl, c7_impl)
     if netG == "unet_128":
         return UnetGenerator(output_nc, 7, ngf, norm, use_dropout, norm_impl, ki)
     if netG == "unet_256":

@@ -53,6 +53,7 @@ class Pix2PixModel(BaseModel):
             opt.input_nc, opt.output_nc, opt.ngf, opt.netG, opt.norm,
             not opt.no_dropout, opt.init_type, opt.init_gain, norm_impl,
             getattr(opt, "remat", False), getattr(opt, "block_impl", "xla"),
+            getattr(opt, "c7_impl", "xla"),
         )
         # conditional D sees A and B stacked on channels
         self.netD = networks.define_D(

@@ -43,6 +43,7 @@ class TestModel(BaseModel):
             not opt.no_dropout, opt.init_type, opt.init_gain,
             getattr(opt, "norm_impl", "xla"),
             getattr(opt, "remat", False), getattr(opt, "block_impl", "xla"),
+            getattr(opt, "c7_impl", "xla"),
         )
         h = w = opt.crop_size
         a0 = jnp.zeros((1, h, w, opt.input_nc), jnp.float32)

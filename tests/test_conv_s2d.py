@@ -1,0 +1,85 @@
+"""Exactness of the s2d-blocked c7s1 conv vs the direct lowering."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nemar_tpu.ops.conv_s2d import conv7_s2d, conv7_s2d_supported
+
+
+def _direct(x, kernel):
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        xp, kernel, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+@pytest.mark.parametrize("cin,cout,hw", [(64, 3, 16), (3, 64, 16),
+                                         (8, 3, 32), (64, 3, 12)])
+def test_forward_matches_direct(cin, cout, hw):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, hw, hw, cin)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((7, 7, cin, cout)) * 0.05,
+                    jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(conv7_s2d(x, k)), np.asarray(_direct(x, k)),
+        rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_direct():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((7, 7, 8, 3)) * 0.05, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((1, 16, 16, 3)), jnp.float32)
+
+    def loss(fn):
+        return lambda x, k: jnp.sum(fn(x, k) * g)
+
+    gx_a, gk_a = jax.grad(loss(conv7_s2d), argnums=(0, 1))(x, k)
+    gx_b, gk_b = jax.grad(loss(_direct), argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx_a), np.asarray(gx_b),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(gk_a), np.asarray(gk_b),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_supported_gate():
+    assert conv7_s2d_supported((2, 16, 16, 3))
+    assert not conv7_s2d_supported((2, 18, 18, 3))
+    assert not conv7_s2d_supported((2, 16, 17, 3))
+
+
+def test_resnet_generator_s2d_equivalence():
+    """Same init tree, same output: c7_impl swaps freely (ckpt compat)."""
+    from nemar_tpu.models.networks import ResnetGenerator
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 3)), jnp.float32)
+    g_x = ResnetGenerator(3, 8, 2, 2, "instance", c7_impl="xla")
+    g_s = ResnetGenerator(3, 8, 2, 2, "instance", c7_impl="s2d")
+    p_x = g_x.init(jax.random.key(0), x)
+    p_s = g_s.init(jax.random.key(0), x)
+    # identical tree structure + shapes (RNG draws differ per impl: flax
+    # folds the param path into nn.Conv's init stream; values are loaded
+    # from checkpoints anyway)
+    assert jax.tree.structure(p_x) == jax.tree.structure(p_s)
+    for a, b in zip(jax.tree.leaves(p_x), jax.tree.leaves(p_s)):
+        assert a.shape == b.shape
+    np.testing.assert_allclose(
+        np.asarray(g_s.apply(p_x, x)), np.asarray(g_x.apply(p_x, x)),
+        rtol=5e-5, atol=5e-5)
+
+
+def test_resnet_generator_s2d_odd_size_falls_back():
+    from nemar_tpu.models.networks import ResnetGenerator
+
+    rng = np.random.default_rng(3)
+    # H, W not divisible by 4 -> direct path; must still run + match names
+    x = jnp.asarray(rng.standard_normal((1, 18, 18, 3)), jnp.float32)
+    g = ResnetGenerator(3, 8, 2, 2, "instance", c7_impl="s2d")
+    p = g.init(jax.random.key(0), x)
+    # 18 -> (down) 9 -> 5 -> (up) 10 -> 20: the generator itself rounds
+    # odd sizes up (pre-existing); the point here is the fallback RUNS.
+    assert g.apply(p, x).shape == (1, 20, 20, 3)
