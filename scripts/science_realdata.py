@@ -167,8 +167,28 @@ def main():
         model.update_learning_rate(epoch)
         if epoch % 5 == 0 or epoch == epochs:
             evaluate(epoch)
-    print(json.dumps({"config": f"realdata_pipeline_n{n_train}", "pairs": len(dataset),
-                      "final_epe_px": evaluate(epochs)}))
+
+    # Phase 2: R-refinement against the frozen translator (science_final
+    # P2, incl. the round-3 LR fix: P1's linear schedule has decayed
+    # current_lr to ~0 by now — without the reset this phase is inert).
+    import jax as _jax
+
+    e2 = max(epochs // 4, 6)
+    model.freeze_g = True
+    model.stn_warmup = 0
+    model.stn_ramp = 0
+    model._train_step = _jax.jit(model._train_step_impl, donate_argnums=(0,))
+    epe = None
+    for epoch in range(1, e2 + 1):
+        model.set_epoch(epochs)
+        model.current_lr = opt.lr * (1.0 - (epoch - 1) / e2)
+        for data in dataset:
+            model.set_input(data)
+            model.optimize_parameters()
+        if epoch % 3 == 0 or epoch == e2:
+            epe = evaluate(epochs + epoch)
+    print(json.dumps({"config": f"realdata_pipeline_n{n_train}",
+                      "pairs": len(dataset), "final_epe_px": epe}))
     f.close()
 
 
