@@ -57,7 +57,8 @@ def _stdout_to_stderr():
         sys.stdout = old
 
 
-def build_model(batch_size: int, block_impl: str = "pallas"):
+def build_model(batch_size: int, block_impl: str = "pallas",
+                c7_impl: str = "s2d"):
     from nemar_tpu.models import create_model
     from nemar_tpu.options import TrainOptions
 
@@ -68,7 +69,7 @@ def build_model(batch_size: int, block_impl: str = "pallas"):
         "--batch_size", str(batch_size),
         "--netG", "resnet_6blocks", "--stn_type", "unet",
         "--gan_mode", "lsgan", "--pool_size", "0",
-        "--bf16", "--block_impl", block_impl,
+        "--bf16", "--block_impl", block_impl, "--c7_impl", c7_impl,
     ]
     with _stdout_to_stderr():
         opt = TrainOptions().parse(args)
@@ -78,13 +79,13 @@ def build_model(batch_size: int, block_impl: str = "pallas"):
 
 
 def bench_train_step(batch_size: int, steps: int = 10, trials: int = 5,
-                     block_impl: str = "pallas"):
+                     block_impl: str = "pallas", c7_impl: str = "s2d"):
     """Headline: --block_impl pallas routes the generator's trunk + decoder
     through the fused kernels (probe r3d: beats the XLA step same-window);
     the caller falls back to xla on any compile failure."""
     import jax
 
-    model, opt = build_model(batch_size, block_impl)
+    model, opt = build_model(batch_size, block_impl, c7_impl)
     rng = np.random.default_rng(0)
     batch = {
         "A": rng.standard_normal((batch_size, 256, 256, opt.input_nc), dtype=np.float32),
@@ -256,6 +257,7 @@ def bench_config(n: int):
                     "--batch_size", str(bsz), "--grad_accum", str(accum),
                     "--netG", "resnet_6blocks", "--stn_type", "unet",
                     "--bf16", "--remat", "--pool_size", "0",
+                    "--c7_impl", "s2d",
                 ]
                 with _stdout_to_stderr():
                     opt = TrainOptions().parse(args)
@@ -323,10 +325,11 @@ def main():
         return
 
     pairs = None
-    for batch, impl in ((32, "pallas"), (32, "xla"), (16, "pallas"),
-                        (16, "xla"), (8, "xla")):
+    for batch, impl, c7 in ((32, "pallas", "s2d"), (32, "xla", "s2d"),
+                            (32, "xla", "xla"), (16, "pallas", "s2d"),
+                            (16, "xla", "xla"), (8, "xla", "xla")):
         try:
-            pairs = bench_train_step(batch, block_impl=impl)
+            pairs = bench_train_step(batch, block_impl=impl, c7_impl=c7)
             break
         except Exception as e:  # OOM / kernel compile failure: step down
             log(f"batch {batch} impl {impl} failed: {type(e).__name__}: {e}")
