@@ -168,7 +168,13 @@ class ResnetGenerator(nn.Module):
         # backward-d/dinput) run at ~3% MFU under the direct lowering.
         from nemar_tpu.ops.conv_s2d import conv7_s2d, conv7_s2d_supported
 
-        use_s2d = self.c7_impl == "s2d" and conv7_s2d_supported(x.shape)
+        # Per-conv routing (probe r3g/r3j): the ENCODER c7s1 wins with the
+        # s2d blocking (13.9 vs 19.3 ms isolated); the HEAD is a wash under
+        # s2d but wins with the FLOP-preserving (7x1)∘(1x7) factorization
+        # (ops/conv_fact.py). 'auto' picks the best known per conv.
+        use_s2d = (self.c7_impl in ("s2d", "auto")
+                   and conv7_s2d_supported(x.shape))
+        head_impl = {"auto": "fact"}.get(self.c7_impl, self.c7_impl)
         # Explicit names pin the auto-naming layout (Conv_0..Conv_3) so the
         # manual-param branches below stay checkpoint-compatible.
         if use_s2d:
@@ -232,9 +238,12 @@ class ResnetGenerator(nn.Module):
                 )(h)
                 h = _norm_act(h, self.norm, "relu", self.norm_impl)
         head_name = f"Conv_{1 + self.n_downsampling}"
-        if use_s2d:
+        if head_impl in ("s2d", "fact") and conv7_s2d_supported(h.shape):
+            from nemar_tpu.ops.conv_fact import conv7_fact
+
+            head_fn = conv7_fact if head_impl == "fact" else conv7_s2d
             ph = self._c7_params(head_name, h.shape[-1], self.output_nc)
-            h = (conv7_s2d(h, ph["kernel"].astype(h.dtype))
+            h = (head_fn(h, ph["kernel"].astype(h.dtype))
                  + ph["bias"].astype(h.dtype))
         elif self.block_impl == "pallas_all" and self.output_nc <= 8:
             # 7x7 head to output_nc channels: ~3% MFU under the direct

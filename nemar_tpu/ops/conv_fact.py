@@ -1,0 +1,65 @@
+"""Exact (7x1)∘(1x7) factorization of the c7s1 head conv.
+
+The direct 7x7 C64->3 head uses 3 of 128 MXU output lanes. Blocking
+space (conv_s2d) fixes lane util but pays 2.94x FLOPs plus four large
+transposes — measured a wash at (32,256,256,64) (probe r3g/r3h).
+
+This rewrite is algebraic and FLOP-preserving:
+
+  P[n,i,j,(dx,o)] = sum_{dy,ci} x[n,i+dy,j,ci] * W[dy,dx,ci,o]
+  y[n,i,j,o]      = sum_{dx}    P[n,i,j+dx,(dx,o)]
+
+Step 1 is a (7,1) conv with C_out = 7*C_out_true = 21 — the SAME
+18.8 kFLOP/px as the direct conv (it is the direct conv's contraction,
+re-grouped), but emitting 21 lanes instead of 3. Step 2 is a (1,7) conv
+whose kernel is a CONSTANT one-hot selector (no gradient flows to it),
+costing 2*7*21*3 = 0.9 kFLOP/px. Autodiff of the pair yields factorized
+backward convs with the same improved lane counts (d/dx: 21->64 via
+contraction 147; dW: 21-feature correlation instead of 3).
+
+Exact to f32 roundoff vs the direct lowering (tests/test_conv_s2d.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_K = 7
+
+
+def _selector(cout, dtype):
+    """(1, 7, 7*cout, cout) constant: K2[0,dx,(dx',o),o'] = δ_dx,dx' δ_o,o'."""
+    sel = np.zeros((1, _K, _K * cout, cout), np.float32)
+    for dx in range(_K):
+        for o in range(cout):
+            sel[0, dx, dx * cout + o, o] = 1.0
+    return jnp.asarray(sel, dtype)
+
+
+def conv7_fact(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """reflect_pad(3) + 7x7 VALID conv via the (7x1)∘(1x7) factorization.
+
+    x: (N, H, W, Cin); kernel: (7, 7, Cin, Cout). Returns (N, H, W, Cout),
+    equal to the direct lowering at networks.py:154/226 up to f32
+    summation order.
+    """
+    n, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+    # K1[dy, 0, ci, (dx, o)] = W[dy, dx, ci, o]
+    k1 = kernel.transpose(0, 2, 1, 3).reshape(_K, 1, cin, _K * cout)
+    p = lax.conv_general_dilated(
+        xp, k1, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )  # (n, h, w+6, 7*cout)
+    y = lax.conv_general_dilated(
+        p, _selector(cout, x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )  # (n, h, w, cout)
+    return y

@@ -108,13 +108,15 @@ class BaseOptions:
                                  "slower than XLA's lowering — kept for "
                                  "future tuning)")
         parser.add_argument("--c7_impl", type=str, default="xla",
-                            choices=["xla", "s2d"],
-                            help="ResnetGenerator c7s1 convs: 's2d' is an "
-                                 "EXACT space-to-depth(4) blocked rewrite "
-                                 "(ops/conv_s2d.py) that lifts the 3-channel "
-                                 "head (and the encoder conv's d/dinput) off "
-                                 "the 3-of-128-lane MXU path; falls back to "
-                                 "the direct lowering when H or W %% 4 != 0")
+                            choices=["xla", "s2d", "fact", "auto"],
+                            help="ResnetGenerator c7s1 convs: 's2d' = EXACT "
+                                 "space-to-depth(4) blocked rewrite "
+                                 "(ops/conv_s2d.py); 'fact' = EXACT "
+                                 "(7x1)∘(1x7) head factorization "
+                                 "(ops/conv_fact.py, FLOP-preserving); "
+                                 "'auto' = best measured per conv (s2d "
+                                 "encoder + fact head). All fall back to the "
+                                 "direct lowering when H or W %% 4 != 0")
         parser.add_argument("--profile_dir", type=str, default="",
                             help="if set, write a jax.profiler trace of the hot loop here")
         parser.add_argument("--data_shard_count", type=int, default=-1,
