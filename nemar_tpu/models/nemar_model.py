@@ -91,6 +91,12 @@ class NEMARModel(BaseModel):
                                  "not fight field magnitude (round-3 256² "
                                  "science: order-1 TV under-scales affine "
                                  "flow to ~40%% at cos 0.998)")
+        parser.add_argument("--stn_head_impl", type=str, default="xla",
+                            choices=("xla", "fact"),
+                            help="UNet-STN flow heads: 'fact' = exact "
+                                 "(3x1)∘(1x3) factorization — the 2-channel "
+                                 "heads use 2 of 128 MXU output lanes under "
+                                 "the direct lowering (ops/conv_fact.py)")
         parser.add_argument("--stn_padding_mode", type=str, default="zeros",
                             help="grid_sample padding [zeros | border | reflection]")
         parser.add_argument("--stn_bounded_flow", type=float, default=0.0,

@@ -39,6 +39,7 @@ def define_stn(opt, stn_type: str):
             flow_scale=getattr(opt, "stn_flow_scale", 1.0),
             smooth_type=getattr(opt, "stn_smooth_type", "l1"),
             smooth_order=getattr(opt, "stn_smooth_order", 1),
+            head_impl=getattr(opt, "stn_head_impl", "xla"),
             padding_mode=getattr(opt, "stn_padding_mode", "zeros"),
             bounded_flow=getattr(opt, "stn_bounded_flow", 0.0),
             align_corners=ac,

@@ -65,6 +65,7 @@ class UnetSTN(nn.Module):
     bounded_flow: float = 0.0  # >0: tanh-bound the field (normalized units)
     multiscale: bool = False  # coarse-to-fine flow heads at each decoder level
     level_scale: float = 1.0  # damping on each head's residual field
+    head_impl: str = "xla"  # 'fact': (3x1)∘(1x3) factorized 2-lane heads
 
     @nn.compact
     def predict_flow(self, a: jax.Array, b: jax.Array):
@@ -82,12 +83,17 @@ class UnetSTN(nn.Module):
         h = jnp.concatenate([a, b], axis=-1)
         chans = [min(self.ngf * 2**i, self.ngf * 8) for i in range(self.depth)]
         skips = []
+        # Explicit Conv_<k> names in creation order reproduce flax's
+        # auto-naming exactly, so the manual-param fact heads below keep
+        # the tree checkpoint-compatible across head_impl settings.
+        cidx = 0
         # Encoder: k3 s2 p1 + IN + LeakyReLU
         for i, ch in enumerate(chans):
             h = nn.Conv(
                 ch, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
-                kernel_init=conv_init,
+                kernel_init=conv_init, name=f"Conv_{cidx}",
             )(h)
+            cidx += 1
             h = instance_norm_act(h, act="leaky_relu")
             skips.append(h)
 
@@ -96,11 +102,29 @@ class UnetSTN(nn.Module):
             # steps move zero-init head weights by ~lr per step, which in
             # composed multiscale heads compounds to tens of px within an
             # epoch (round-2 science); damping keeps early fields sub-pixel.
-            return self.level_scale * nn.Conv(
-                2, (3, 3), padding=((1, 1), (1, 1)),
-                kernel_init=nn.initializers.zeros,
-                bias_init=nn.initializers.zeros,
-            )(feat)
+            nonlocal cidx
+            name = f"Conv_{cidx}"
+            cidx += 1
+            if self.head_impl == "fact":
+                # 2 of 128 MXU output lanes under the direct lowering —
+                # the generator-head pathology at small scale. Same
+                # (kx1)∘(1xk) rewrite, exact math (ops/conv_fact.py).
+                from nemar_tpu.ops.conv_fact import conv_fact
+
+                def init(key, cin):
+                    return {"kernel": jnp.zeros((3, 3, cin, 2), jnp.float32),
+                            "bias": jnp.zeros((2,), jnp.float32)}
+
+                ph = self.param(name, init, feat.shape[-1])
+                out = (conv_fact(feat, ph["kernel"].astype(feat.dtype), 1)
+                       + ph["bias"].astype(feat.dtype))
+            else:
+                out = nn.Conv(
+                    2, (3, 3), padding=((1, 1), (1, 1)),
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros, name=name,
+                )(feat)
+            return self.level_scale * out
 
         flows = []
         # Decoder: resize+conv (TPU-friendly, no checkerboard)
@@ -112,8 +136,10 @@ class UnetSTN(nn.Module):
             )
             out_ch = chans[i - 1] if i > 0 else self.ngf
             h = nn.Conv(
-                out_ch, (3, 3), padding=((1, 1), (1, 1)), kernel_init=conv_init
+                out_ch, (3, 3), padding=((1, 1), (1, 1)),
+                kernel_init=conv_init, name=f"Conv_{cidx}",
             )(h)
+            cidx += 1
             h = instance_norm_act(h, act="leaky_relu")
             if i > 0:
                 h = jnp.concatenate([skips[i - 1], h], axis=-1)

@@ -31,13 +31,37 @@ from jax import lax
 _K = 7
 
 
-def _selector(cout, dtype):
-    """(1, 7, 7*cout, cout) constant: K2[0,dx,(dx',o),o'] = δ_dx,dx' δ_o,o'."""
-    sel = np.zeros((1, _K, _K * cout, cout), np.float32)
-    for dx in range(_K):
+def _selector(cout, dtype, kw=_K):
+    """(1, kw, kw*cout, cout) constant: K2[0,dx,(dx',o),o'] = δ_dx,dx' δ_o,o'."""
+    sel = np.zeros((1, kw, kw * cout, cout), np.float32)
+    for dx in range(kw):
         for o in range(cout):
             sel[0, dx, dx * cout + o, o] = 1.0
     return jnp.asarray(sel, dtype)
+
+
+def conv_fact(x: jax.Array, kernel: jax.Array, pad: int) -> jax.Array:
+    """Zero-padded kxk conv via the (kx1)∘(1xk) factorization.
+
+    General form of conv7_fact for the small-C_out heads outside the
+    generator (e.g. the STN's 2-channel flow heads, which use 2 of 128
+    MXU output lanes under the direct lowering). Same math as
+    nn.Conv(cout, (k, k), padding=pad) with zero padding, up to f32
+    summation order. Bias is the caller's concern.
+    """
+    kh, kw, cin, cout = kernel.shape
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    k1 = kernel.transpose(0, 2, 1, 3).reshape(kh, 1, cin, kw * cout)
+    p = lax.conv_general_dilated(
+        xp, k1, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    return lax.conv_general_dilated(
+        p, _selector(cout, x.dtype, kw), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
 
 
 def conv7_fact(x: jax.Array, kernel: jax.Array) -> jax.Array:

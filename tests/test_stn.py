@@ -93,3 +93,30 @@ class TestSmoothness:
             float(smoothness_loss(f, "l1", order=2)), 0.0, atol=1e-6)
         np.testing.assert_allclose(
             float(smoothness_loss(f, "l2", order=2)), 0.0, atol=1e-12)
+
+
+class TestFactHeads:
+    def test_head_impl_fact_equivalence(self):
+        """Same params, same flow/reg under xla vs fact heads (+ ckpt-
+        compatible trees) — single-head and multiscale."""
+        rng = np.random.default_rng(7)
+        a = jnp.asarray(rng.standard_normal((1, 16, 16, 1), dtype=np.float32))
+        b = jnp.asarray(rng.standard_normal((1, 16, 16, 1), dtype=np.float32))
+        for ms in (False, True):
+            s_x = UnetSTN(in_channels=2, ngf=4, depth=2, multiscale=ms)
+            s_f = UnetSTN(in_channels=2, ngf=4, depth=2, multiscale=ms,
+                          head_impl="fact")
+            p = s_x.init(jax.random.key(0), a, b, (a,))
+            p_f = s_f.init(jax.random.key(0), a, b, (a,))
+            assert jax.tree.structure(p) == jax.tree.structure(p_f)
+            # zero-init heads -> perturb so the comparison is non-trivial
+            p = jax.tree.map(
+                lambda v: v + 0.01 * np.random.default_rng(1).standard_normal(
+                    v.shape).astype(v.dtype), p)
+            (wx,), rx, auxx = s_x.apply(p, a, b, (a,))
+            (wf,), rf, auxf = s_f.apply(p, a, b, (a,))
+            np.testing.assert_allclose(np.asarray(auxf["flow"]),
+                                       np.asarray(auxx["flow"]),
+                                       rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(wf), np.asarray(wx),
+                                       rtol=2e-5, atol=2e-5)
