@@ -57,8 +57,8 @@ def _stdout_to_stderr():
         sys.stdout = old
 
 
-def build_model(batch_size: int, block_impl: str = "pallas",
-                c7_impl: str = "s2d"):
+def build_model(batch_size: int, block_impl: str = "xla",
+                c7_impl: str = "auto"):
     from nemar_tpu.models import create_model
     from nemar_tpu.options import TrainOptions
 
@@ -79,10 +79,11 @@ def build_model(batch_size: int, block_impl: str = "pallas",
 
 
 def bench_train_step(batch_size: int, steps: int = 10, trials: int = 5,
-                     block_impl: str = "pallas", c7_impl: str = "s2d"):
-    """Headline: --block_impl pallas routes the generator's trunk + decoder
-    through the fused kernels (probe r3d: beats the XLA step same-window);
-    the caller falls back to xla on any compile failure."""
+                     block_impl: str = "xla", c7_impl: str = "auto"):
+    """Headline step. c7_impl 'auto' routes the generator's c7s1 convs
+    through the exact MXU-lane rewrites (s2d encoder + factorized head,
+    probes r3g-r3k: -18 ms on the b32 step); the caller ladders down on
+    any compile failure."""
     import jax
 
     model, opt = build_model(batch_size, block_impl, c7_impl)
@@ -257,7 +258,7 @@ def bench_config(n: int):
                     "--batch_size", str(bsz), "--grad_accum", str(accum),
                     "--netG", "resnet_6blocks", "--stn_type", "unet",
                     "--bf16", "--remat", "--pool_size", "0",
-                    "--c7_impl", "s2d",
+                    "--c7_impl", "auto",
                 ]
                 with _stdout_to_stderr():
                     opt = TrainOptions().parse(args)
@@ -325,9 +326,13 @@ def main():
         return
 
     pairs = None
-    for batch, impl, c7 in ((32, "pallas", "s2d"), (32, "xla", "s2d"),
-                            (32, "xla", "xla"), (16, "pallas", "s2d"),
-                            (16, "xla", "xla"), (8, "xla", "xla")):
+    # NOTE: block_impl pallas combined with a c7 rewrite OOM-kills the
+    # remote compile helper (probe r3i/pauto) and showed no in-step win
+    # over xla (probe r3f: 262.5 vs 261.5 ms) — the ladder leads with the
+    # measured-fastest xla+auto step (probe r3j/r3k).
+    for batch, impl, c7 in ((32, "xla", "auto"), (32, "xla", "s2d"),
+                            (32, "xla", "xla"), (16, "xla", "auto"),
+                            (8, "xla", "xla")):
         try:
             pairs = bench_train_step(batch, block_impl=impl, c7_impl=c7)
             break
