@@ -127,13 +127,14 @@ class UnetSTN(nn.Module):
             return self.level_scale * out
 
         flows = []
-        # Decoder: resize+conv (TPU-friendly, no checkerboard)
+        # Decoder: resize+conv (TPU-friendly, no checkerboard). Integer 2x
+        # nearest upsampling == repeat — a broadcast+reshape XLA lowers
+        # without the gathers jax.image.resize can emit (identical values).
         for i in reversed(range(self.depth)):
-            tgt_h = h.shape[1] * 2
-            tgt_w = h.shape[2] * 2
-            h = jax.image.resize(
-                h, (h.shape[0], tgt_h, tgt_w, h.shape[3]), method="nearest"
-            )
+            nn_, hh_, ww_, ch_ = h.shape
+            h = jnp.broadcast_to(h[:, :, None, :, None, :],
+                                 (nn_, hh_, 2, ww_, 2, ch_))
+            h = h.reshape(nn_, hh_ * 2, ww_ * 2, ch_)
             out_ch = chans[i - 1] if i > 0 else self.ngf
             h = nn.Conv(
                 out_ch, (3, 3), padding=((1, 1), (1, 1)),
