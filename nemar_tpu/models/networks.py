@@ -172,7 +172,7 @@ class ResnetGenerator(nn.Module):
         # s2d blocking (13.9 vs 19.3 ms isolated); the HEAD is a wash under
         # s2d but wins with the FLOP-preserving (7x1)∘(1x7) factorization
         # (ops/conv_fact.py). 'auto' picks the best known per conv.
-        use_s2d = (self.c7_impl in ("s2d", "auto")
+        use_s2d = (self.c7_impl in ("s2d", "auto", "factg")
                    and conv7_s2d_supported(x.shape))
         head_impl = {"auto": "fact"}.get(self.c7_impl, self.c7_impl)
         # Explicit names pin the auto-naming layout (Conv_0..Conv_3) so the
@@ -238,10 +238,12 @@ class ResnetGenerator(nn.Module):
                 )(h)
                 h = _norm_act(h, self.norm, "relu", self.norm_impl)
         head_name = f"Conv_{1 + self.n_downsampling}"
-        if head_impl in ("s2d", "fact") and conv7_s2d_supported(h.shape):
-            from nemar_tpu.ops.conv_fact import conv7_fact
+        if (head_impl in ("s2d", "fact", "factg")
+                and conv7_s2d_supported(h.shape)):
+            from nemar_tpu.ops.conv_fact import conv7_fact, conv7_fact_g
 
-            head_fn = conv7_fact if head_impl == "fact" else conv7_s2d
+            head_fn = {"fact": conv7_fact, "factg": conv7_fact_g,
+                       "s2d": conv7_s2d}[head_impl]
             ph = self._c7_params(head_name, h.shape[-1], self.output_nc)
             h = (head_fn(h, ph["kernel"].astype(h.dtype))
                  + ph["bias"].astype(h.dtype))

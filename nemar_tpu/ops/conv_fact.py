@@ -64,6 +64,47 @@ def conv_fact(x: jax.Array, kernel: jax.Array, pad: int) -> jax.Array:
     )
 
 
+_GROUPS = ((0, 2), (2, 4), (4, 6), (6, 7))  # dy row-groups for conv7_fact_g
+
+
+def conv7_fact_g(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """conv7_fact with the dy contraction split into 4 row-groups.
+
+    The plain factorization's (7,1) stage emits 21 output lanes (16% MXU
+    lane util). Splitting dy into groups (2,2,2,1) turns it into four
+    (len,1) convs over row-shifted windows whose concatenated outputs give
+    4*21 = 84 lanes (66%); the constant selector then sums groups AND dx.
+    Same total stage-1 FLOPs (each group only contracts its own rows);
+    the input is read ~4x (one pass per group) — a bandwidth-for-lane-util
+    trade that pays at (32,256,256,64) where stage 1 is compute-bound.
+    Exact vs the direct lowering (tests/test_conv_s2d.py).
+    """
+    n, h, w, cin = x.shape
+    cout = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+    ps = []
+    for g0, g1 in _GROUPS:
+        k1 = kernel[g0:g1].transpose(0, 2, 1, 3).reshape(
+            g1 - g0, 1, cin, _K * cout)
+        ps.append(lax.conv_general_dilated(
+            xp[:, g0:g0 + h + (g1 - g0) - 1], k1, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype,
+        ))  # each (n, h, w+6, 7*cout)
+    p = jnp.concatenate(ps, axis=-1)  # (n, h, w+6, 4*7*cout)
+    ng = len(_GROUPS)
+    sel = np.zeros((1, _K, ng * _K * cout, cout), np.float32)
+    for g in range(ng):
+        for dx in range(_K):
+            for o in range(cout):
+                sel[0, dx, (g * _K + dx) * cout + o, o] = 1.0
+    return lax.conv_general_dilated(
+        p, jnp.asarray(sel, x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+
 def conv7_fact(x: jax.Array, kernel: jax.Array) -> jax.Array:
     """reflect_pad(3) + 7x7 VALID conv via the (7x1)∘(1x7) factorization.
 

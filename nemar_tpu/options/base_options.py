@@ -108,7 +108,7 @@ class BaseOptions:
                                  "slower than XLA's lowering — kept for "
                                  "future tuning)")
         parser.add_argument("--c7_impl", type=str, default="xla",
-                            choices=["xla", "s2d", "fact", "auto"],
+                            choices=["xla", "s2d", "fact", "factg", "auto"],
                             help="ResnetGenerator c7s1 convs: 's2d' = EXACT "
                                  "space-to-depth(4) blocked rewrite "
                                  "(ops/conv_s2d.py); 'fact' = EXACT "

@@ -116,3 +116,23 @@ def test_resnet_generator_auto_equivalence():
     np.testing.assert_allclose(
         np.asarray(g_a.apply(p, x)), np.asarray(g_x.apply(p, x)),
         rtol=5e-5, atol=5e-5)
+
+
+def test_conv7_fact_g_matches_direct():
+    from nemar_tpu.ops.conv_fact import conv7_fact_g
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((7, 7, 8, 3)) * 0.05, jnp.float32)
+    np.testing.assert_allclose(np.asarray(conv7_fact_g(x, k)),
+                               np.asarray(_direct(x, k)),
+                               rtol=2e-5, atol=2e-5)
+    g = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    ga = jax.grad(lambda xx, kk: jnp.sum(conv7_fact_g(xx, kk) * g),
+                  argnums=(0, 1))(x, k)
+    gb = jax.grad(lambda xx, kk: jnp.sum(_direct(xx, kk) * g),
+                  argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(ga[0]), np.asarray(gb[0]),
+                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(ga[1]), np.asarray(gb[1]),
+                               rtol=3e-5, atol=3e-5)
