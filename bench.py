@@ -330,7 +330,7 @@ def main():
     # remote compile helper (probe r3i/pauto) and showed no in-step win
     # over xla (probe r3f: 262.5 vs 261.5 ms) — the ladder leads with the
     # measured-fastest xla+auto step (probe r3j/r3k).
-    for batch, impl, c7 in ((32, "xla", "auto"), (32, "xla", "s2d"),
+    for batch, impl, c7 in ((48, "xla", "auto"), (32, "xla", "auto"),
                             (32, "xla", "xla"), (16, "xla", "auto"),
                             (8, "xla", "xla")):
         try:
