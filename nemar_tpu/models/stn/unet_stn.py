@@ -66,6 +66,7 @@ class UnetSTN(nn.Module):
     multiscale: bool = False  # coarse-to-fine flow heads at each decoder level
     level_scale: float = 1.0  # damping on each head's residual field
     head_impl: str = "xla"  # 'fact': (3x1)∘(1x3) factorized 2-lane heads
+    up_impl: str = "fused"  # 'fused': conv-then-d2s decoder (ops/up_conv.py)
 
     @nn.compact
     def predict_flow(self, a: jax.Array, b: jax.Array):
@@ -132,15 +133,35 @@ class UnetSTN(nn.Module):
         # without the gathers jax.image.resize can emit (identical values).
         for i in reversed(range(self.depth)):
             nn_, hh_, ww_, ch_ = h.shape
-            h = jnp.broadcast_to(h[:, :, None, :, None, :],
-                                 (nn_, hh_, 2, ww_, 2, ch_))
-            h = h.reshape(nn_, hh_ * 2, ww_ * 2, ch_)
             out_ch = chans[i - 1] if i > 0 else self.ngf
-            h = nn.Conv(
-                out_ch, (3, 3), padding=((1, 1), (1, 1)),
-                kernel_init=conv_init, name=f"Conv_{cidx}",
-            )(h)
-            cidx += 1
+            if self.up_impl == "fused":
+                # Exact conv-then-depth-to-space rewrite: 2.25x fewer MACs,
+                # 4x output lanes, no materialized upsampled activation
+                # (ops/up_conv.py). Same {kernel,bias} tree path as the
+                # nn.Conv it replaces -> checkpoint-compatible.
+                from nemar_tpu.ops.up_conv import up2_conv3
+
+                name = f"Conv_{cidx}"
+                cidx += 1
+
+                def init(key, cin=ch_, cout=out_ch):
+                    kkey, _ = jax.random.split(key)
+                    return {"kernel": conv_init(kkey, (3, 3, cin, cout),
+                                                jnp.float32),
+                            "bias": jnp.zeros((cout,), jnp.float32)}
+
+                ph = self.param(name, init)
+                h = up2_conv3(h, ph["kernel"].astype(h.dtype),
+                              ph["bias"])
+            else:
+                h = jnp.broadcast_to(h[:, :, None, :, None, :],
+                                     (nn_, hh_, 2, ww_, 2, ch_))
+                h = h.reshape(nn_, hh_ * 2, ww_ * 2, ch_)
+                h = nn.Conv(
+                    out_ch, (3, 3), padding=((1, 1), (1, 1)),
+                    kernel_init=conv_init, name=f"Conv_{cidx}",
+                )(h)
+                cidx += 1
             h = instance_norm_act(h, act="leaky_relu")
             if i > 0:
                 h = jnp.concatenate([skips[i - 1], h], axis=-1)

@@ -1,0 +1,84 @@
+"""Parity of the fused upsample+conv decoder rewrite (ops/up_conv.py).
+
+The rewrite must reproduce conv3x3_same(nearest_up2(x)) — the reference
+decoder stage (reference models/stn/unet_stn.py; docs/PARITY.md) — to
+float roundoff, including the zero-padding border and the backward pass,
+and the UnetSTN module must produce the same flow under either
+--stn_up_impl from the SAME parameter tree (checkpoint compatibility).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nemar_tpu.ops.up_conv import up2_conv3, up2_conv3_reference
+
+
+@pytest.mark.parametrize("shape,cout", [
+    ((2, 8, 8, 16), 8),
+    ((1, 5, 7, 3), 2),   # odd sizes: border mapping must still be exact
+    ((3, 16, 16, 32), 32),
+])
+def test_up2_conv3_matches_direct(shape, cout):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape, dtype=np.float32))
+    k = jnp.asarray(
+        rng.standard_normal((3, 3, shape[-1], cout), dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal((cout,), dtype=np.float32))
+    got = up2_conv3(x, k, b)
+    want = up2_conv3_reference(x, k, b)
+    assert got.shape == want.shape == (
+        shape[0], 2 * shape[1], 2 * shape[2], cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_up2_conv3_grads_match():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 8), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((3, 3, 8, 4), dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal((4,), dtype=np.float32))
+
+    def loss(fn):
+        def f(x, k, b):
+            return jnp.mean(jnp.abs(fn(x, k, b)))
+        return jax.grad(f, argnums=(0, 1, 2))
+
+    gx, gk, gb = loss(up2_conv3)(x, k, b)
+    rx, rk, rb = loss(up2_conv3_reference)(x, k, b)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(rk), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=2e-5)
+
+
+def test_unet_stn_up_impl_parity_same_params():
+    """Same param tree drives both decoder impls to the same flow."""
+    from nemar_tpu.models.stn.unet_stn import UnetSTN
+
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.standard_normal((2, 32, 32, 1), dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
+
+    kw = dict(in_channels=4, ngf=8, depth=3, multiscale=True,
+              level_scale=0.5)
+    m_fused = UnetSTN(up_impl="fused", **kw)
+    m_xla = UnetSTN(up_impl="xla", **kw)
+    params = m_fused.init(jax.random.PRNGKey(0), a, b, (a,))
+    # identical tree paths -> checkpoint compatible across impls
+    flat_f = jax.tree_util.tree_flatten_with_path(params)[0]
+    params_x = m_xla.init(jax.random.PRNGKey(0), a, b, (a,))
+    flat_x = jax.tree_util.tree_flatten_with_path(params_x)[0]
+    assert [p for p, _ in flat_f] == [p for p, _ in flat_x]
+    assert [v.shape for _, v in flat_f] == [v.shape for _, v in flat_x]
+
+    # zero-init heads make flow 0 at init; perturb all params to get a
+    # non-trivial field before comparing
+    params_p = jax.tree.map(
+        lambda v: v + 0.01 * np.float32(1.0), params)
+    (wa,), reg_f, aux_f = m_fused.apply(params_p, a, b, (a,))
+    (wx,), reg_x, aux_x = m_xla.apply(params_p, a, b, (a,))
+    np.testing.assert_allclose(np.asarray(aux_f["flow"]),
+                               np.asarray(aux_x["flow"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(wa), np.asarray(wx), atol=1e-3)
+    np.testing.assert_allclose(float(reg_f), float(reg_x), atol=1e-4)
