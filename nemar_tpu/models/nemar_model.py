@@ -97,14 +97,15 @@ class NEMARModel(BaseModel):
                                  "(3x1)∘(1x3) factorization — the 2-channel "
                                  "heads use 2 of 128 MXU output lanes under "
                                  "the direct lowering (ops/conv_fact.py)")
-        parser.add_argument("--stn_up_impl", type=str, default="fused",
-                            choices=("fused", "xla"),
+        parser.add_argument("--stn_up_impl", type=str, default="xla",
+                            choices=("xla", "fused"),
                             help="UNet-STN decoder upsample+conv: 'fused' = "
                                  "exact conv-then-depth-to-space rewrite "
-                                 "(2.25x fewer MACs, 4x output lanes, no "
-                                 "materialized 2x activation — "
-                                 "ops/up_conv.py); 'xla' = direct "
-                                 "nearest-up2 + 3x3 conv lowering")
+                                 "(2.25x fewer MACs — ops/up_conv.py), but "
+                                 "measured a wash in-step (probe r3m: XLA "
+                                 "already fuses the broadcast upsample into "
+                                 "the conv); 'xla' = direct lowering "
+                                 "(default)")
         parser.add_argument("--stn_padding_mode", type=str, default="zeros",
                             help="grid_sample padding [zeros | border | reflection]")
         parser.add_argument("--stn_bounded_flow", type=float, default=0.0,

@@ -40,7 +40,7 @@ def define_stn(opt, stn_type: str):
             smooth_type=getattr(opt, "stn_smooth_type", "l1"),
             smooth_order=getattr(opt, "stn_smooth_order", 1),
             head_impl=getattr(opt, "stn_head_impl", "xla"),
-            up_impl=getattr(opt, "stn_up_impl", "fused"),
+            up_impl=getattr(opt, "stn_up_impl", "xla"),
             padding_mode=getattr(opt, "stn_padding_mode", "zeros"),
             bounded_flow=getattr(opt, "stn_bounded_flow", 0.0),
             align_corners=ac,

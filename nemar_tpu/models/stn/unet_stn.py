@@ -66,7 +66,12 @@ class UnetSTN(nn.Module):
     multiscale: bool = False  # coarse-to-fine flow heads at each decoder level
     level_scale: float = 1.0  # damping on each head's residual field
     head_impl: str = "xla"  # 'fact': (3x1)∘(1x3) factorized 2-lane heads
-    up_impl: str = "fused"  # 'fused': conv-then-d2s decoder (ops/up_conv.py)
+    # 'fused': conv-then-d2s decoder (ops/up_conv.py). Measured a WASH
+    # in-step (probe r3m: 234.6 vs 233.0 ms b32; STN-only 36.6 vs 35.5) —
+    # XLA already fuses the broadcast-upsample into the conv, so the 2.25x
+    # MAC cut buys nothing at these shapes. Default stays the direct
+    # lowering; the option is kept tested for larger decoders.
+    up_impl: str = "xla"
 
     @nn.compact
     def predict_flow(self, a: jax.Array, b: jax.Array):

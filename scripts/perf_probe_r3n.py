@@ -1,19 +1,18 @@
-"""Round-3 probe M: fused conv+d2s STN decoder (ops/up_conv.py) in-step.
+"""Round-3 probe N: Pallas fused-block trunk + c7 rewrites, in-step retry.
 
-The STN block was 43.6 ms of the 232.9 ms b32 step (r3k), dominated by the
-decoder's full-res resize+conv stages (~200 GFLOP fwd at ~10% MFU). The
-fused rewrite computes each stage as a low-res 2x2 conv + depth-to-space
-(2.25x fewer MACs, 4x lanes, no upsampled intermediate).
+The trunk (6 ResNet blocks, 64² C=256) runs TWICE per step — ~104 ms of
+the 233 ms b32 step at ~55% MFU under XLA. The fused Pallas block kernel
+measured 129 TFLOPs (~66% MFU) isolated (probe r3d) — a ~17 ms/step
+upside — but probe r3f saw no in-step win, and combining it with the c7
+rewrites SIGKILLed the remote compile helper. Round-3 session-2 finding:
+that helper runs ON THIS HOST and dies under concurrent CPU load — the
+earlier OOM may have been contention, not the program. Host is idle now;
+retry the combination and re-A/B the trunk in-step, interleaved.
 
-Variants are INTERLEAVED round-robin with per-variant best-of-rounds (the
-r2i protocol: the pooled chip's contention oscillates within minutes, so
-sequential best-of-3 per variant is garbage). 16-step chains leave ~3 ms
-relay bias per step, identical across variants.
-
-  stn_fused / stn_xla   UnetSTN fwd+bwd module-level A/B
-  step_f32 / step_x32   full b32 256² bf16 step, fused vs xla decoder
-  step_f48              fused decoder at b48
-  step_f64              fused decoder at b64 (OOM-guarded)
+  step_xa    b32 xla trunk + c7 auto (production baseline)
+  step_pa    b32 pallas trunk + c7 auto (the blocked combination)
+  step_px    b32 pallas trunk + c7 xla (r3f's shape, re-measured)
+  step_pa48  b48 pallas trunk + c7 auto
 """
 
 from __future__ import annotations
@@ -30,7 +29,6 @@ from nemar_tpu.utils.compile_cache import enable_compilation_cache
 enable_compilation_cache()
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -39,51 +37,9 @@ def log(m):
 
 
 H = W = 256
-bf = jnp.bfloat16
 
 
-def make_stn(up_impl: str):
-    from nemar_tpu.models.stn.unet_stn import UnetSTN
-
-    B = 32
-    rng = np.random.default_rng(0)
-    a = jnp.asarray(
-        rng.standard_normal((B, H, W, 1), dtype=np.float32)).astype(bf)
-    b = jnp.asarray(
-        rng.standard_normal((B, H, W, 3), dtype=np.float32)).astype(bf)
-    fake = jnp.asarray(
-        rng.standard_normal((B, H, W, 3), dtype=np.float32)).astype(bf)
-    stn = UnetSTN(in_channels=4, ngf=32, depth=5, warp_impl="pallas",
-                  up_impl=up_impl)
-    p = stn.init(jax.random.key(0), a, b, (fake, a))
-    p = jax.tree.map(
-        lambda v: v.astype(bf) if v.dtype == jnp.float32 else v, p)
-
-    def loss(pp, f_):
-        (wf, wa), reg, aux = stn.apply(pp, a, b, (f_, a), n_grad_imgs=1)
-        return (jnp.mean(jnp.abs(wf.astype(jnp.float32)))
-                + jnp.mean(jnp.abs(wa.astype(jnp.float32)))
-                + reg.astype(jnp.float32))
-
-    g = jax.jit(jax.grad(loss, argnums=(0, 1)))
-
-    @jax.jit
-    def red(o):
-        return jnp.stack([x.astype(jnp.float32).mean()
-                          for x in jax.tree.leaves(o)]).mean()
-
-    def chain(steps):
-        o = None
-        t0 = time.time()
-        for _ in range(steps):
-            o = g(p, fake)
-        float(red(o))
-        return (time.time() - t0) / steps * 1e3
-
-    return chain
-
-
-def make_step(batch: int, extra=()):
+def make_step(batch: int, block_impl: str, c7: str):
     from nemar_tpu.models import create_model
     from nemar_tpu.options import TrainOptions
 
@@ -95,8 +51,8 @@ def make_step(batch: int, extra=()):
         "--batch_size", str(batch),
         "--netG", "resnet_6blocks", "--stn_type", "unet",
         "--gan_mode", "lsgan", "--pool_size", "0", "--bf16",
-        "--c7_impl", "auto",
-    ] + list(extra)
+        "--block_impl", block_impl, "--c7_impl", c7,
+    ]
     old = sys.stdout
     sys.stdout = sys.stderr
     try:
@@ -135,12 +91,10 @@ def main():
 
     log(f"backend: {jax.default_backend()}")
     builders = {
-        "stn_fused": lambda: make_stn("fused"),
-        "stn_xla": lambda: make_stn("xla"),
-        "step_f32": lambda: make_step(32),
-        "step_x32": lambda: make_step(32, ("--stn_up_impl", "xla")),
-        "step_f48": lambda: make_step(48),
-        "step_f64": lambda: make_step(64),
+        "step_xa": lambda: make_step(32, "xla", "auto"),
+        "step_pa": lambda: make_step(32, "pallas", "auto"),
+        "step_px": lambda: make_step(32, "pallas", "xla"),
+        "step_pa48": lambda: make_step(48, "pallas", "auto"),
     }
     chains = {}
     for name, mk in builders.items():
@@ -149,7 +103,7 @@ def main():
         try:
             t0 = time.time()
             ch = mk()
-            ch(1)  # compile
+            ch(1)
             log(f"{name}: compile+first {time.time() - t0:.1f}s")
             chains[name] = ch
         except Exception as e:
@@ -160,15 +114,16 @@ def main():
         for name, ch in chains.items():
             try:
                 dt = ch(args.steps)
-            except Exception as e:  # OOM'd variant must not kill the loop
+            except Exception as e:
                 log(f"round {r} {name} FAILED: {type(e).__name__}")
                 continue
             best[name] = min(best[name], dt)
             log(f"round {r} {name}: {dt:.1f} ms (best {best[name]:.1f})")
-    out = {k: round(v, 2) for k, v in best.items()}
+    out = {k: (round(v, 2) if v < float("inf") else None)
+           for k, v in best.items()}
     for k, v in out.items():
-        if k.startswith("step_"):
-            b = int(k[-2:])
+        if v:
+            b = 48 if k.endswith("48") else 32
             log(f"{k}: {v} ms -> {b / v * 1e3:.1f} pairs/s")
     print(json.dumps(out))
 
