@@ -225,10 +225,12 @@ class NEMARModel(BaseModel):
         self.bf16 = getattr(opt, "bf16", False)
         beta1 = getattr(opt, "beta1", 0.5)
         stn_beta1 = getattr(opt, "stn_beta1", None)
-        self.tx = optax.scale_by_adam(b1=beta1, b2=0.999, eps=1e-8)
-        self.tx_R = optax.scale_by_adam(
-            b1=beta1 if stn_beta1 is None else stn_beta1, b2=0.999, eps=1e-8
-        )
+        from nemar_tpu.models.optim import make_adam
+
+        fused_opt = getattr(opt, "opt_fused", False)
+        self.tx = make_adam(beta1, fused=fused_opt)
+        self.tx_R = make_adam(
+            beta1 if stn_beta1 is None else stn_beta1, fused=fused_opt)
         base_lr = getattr(opt, "lr", 2e-4)
         stn_lr = getattr(opt, "stn_lr", None)
         self.stn_lr_ratio = 1.0 if stn_lr is None else stn_lr / base_lr

@@ -55,6 +55,12 @@ class TrainOptions(BaseOptions):
                             type=int, default=100,
                             help="number of epochs to linearly decay lr to zero")
         parser.add_argument("--beta1", type=float, default=0.5, help="momentum term of adam")
+        parser.add_argument("--opt_fused", action="store_true",
+                            help="single-flat-vector Adam update (identical "
+                                 "math, one kernel instead of ~100 per-leaf "
+                                 "launches — models/optim.py). Optimizer-"
+                                 "state checkpoints are shape-incompatible "
+                                 "across this flag")
         parser.add_argument("--lr", type=float, default=0.0002, help="initial adam learning rate")
         parser.add_argument("--gan_mode", type=str, default="lsgan",
                             help="GAN objective [vanilla | lsgan | wgangp]")
