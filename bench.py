@@ -58,7 +58,7 @@ def _stdout_to_stderr():
 
 
 def build_model(batch_size: int, block_impl: str = "xla",
-                c7_impl: str = "auto"):
+                c7_impl: str = "auto", opt_fused: bool = False):
     from nemar_tpu.models import create_model
     from nemar_tpu.options import TrainOptions
 
@@ -70,7 +70,7 @@ def build_model(batch_size: int, block_impl: str = "xla",
         "--netG", "resnet_6blocks", "--stn_type", "unet",
         "--gan_mode", "lsgan", "--pool_size", "0",
         "--bf16", "--block_impl", block_impl, "--c7_impl", c7_impl,
-    ]
+    ] + (["--opt_fused"] if opt_fused else [])
     with _stdout_to_stderr():
         opt = TrainOptions().parse(args)
         model = create_model(opt)
@@ -78,15 +78,17 @@ def build_model(batch_size: int, block_impl: str = "xla",
     return model, opt
 
 
-def bench_train_step(batch_size: int, steps: int = 10, trials: int = 5,
-                     block_impl: str = "xla", c7_impl: str = "auto"):
+def bench_train_step(batch_size: int, steps: int = 32, trials: int = 5,
+                     block_impl: str = "xla", c7_impl: str = "auto",
+                     opt_fused: bool = False):
     """Headline step. c7_impl 'auto' routes the generator's c7s1 convs
     through the exact MXU-lane rewrites (s2d encoder + factorized head,
     probes r3g-r3k: -18 ms on the b32 step); the caller ladders down on
-    any compile failure."""
+    any compile failure. 32-step chains amortize the axon relay's fixed
+    ~47 ms round-trip to ~1.5 ms/step (16-step chains carried ~3)."""
     import jax
 
-    model, opt = build_model(batch_size, block_impl, c7_impl)
+    model, opt = build_model(batch_size, block_impl, c7_impl, opt_fused)
     rng = np.random.default_rng(0)
     batch = {
         "A": rng.standard_normal((batch_size, 256, 256, opt.input_nc), dtype=np.float32),

@@ -41,9 +41,16 @@ def main():
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     res = int(sys.argv[5]) if len(sys.argv) > 5 else 64
     stn = sys.argv[6] if len(sys.argv) > 6 else "unet"
+    # arg 7 'fresh': per-visit random affines for the UNet arm too. At 256²
+    # the fixed-192-pair run stalls at ~40% field magnitude; with fixed
+    # pairs a G that memorizes per-sample geometry caps the photometric
+    # signal R sees (the round-2 memorization finding, and the lever that
+    # unlocked the affine arm in v9).
+    fresh = len(sys.argv) > 7 and sys.argv[7] == "fresh"
     size = 192
     tag = ((f"_{stn}" if stn != "unet" else "")
-           + (f"_s{seed}" if seed else "") + (f"_r{res}" if res != 64 else ""))
+           + (f"_s{seed}" if seed else "") + (f"_r{res}" if res != 64 else "")
+           + ("_fresh" if fresh else ""))
 
     from nemar_tpu.data import create_dataset
     from nemar_tpu.models import create_model
@@ -59,7 +66,7 @@ def main():
         "--batch_size", "8", "--synthetic_size", str(size),
         "--synthetic_pad_crop", "--synthetic_appearance", "smooth",
         "--recon_pyramid", "3", "--border_mask",
-    ] + ((["--stn_multiscale", "--stn_level_scale", "0.25",
+    ] + (["--synthetic_fresh_affine"] if fresh else []) + ((["--stn_multiscale", "--stn_level_scale", "0.25",
            "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
            "--stn_grad_clip", "0.5"] if res < 256 else
           # v10 scaling (round 3): verbatim v7 DIVERGES at 256² (flow
