@@ -27,10 +27,36 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     env = os.environ.get("NEMAR_COMPILE_CACHE", "")
     if env.lower() in ("0", "off", "none"):
         return ""
-    cache_dir = cache_dir or env or _DEFAULT_DIR
-    os.makedirs(cache_dir, exist_ok=True)
 
     import jax
+
+    # XLA:CPU cache entries are machine-code AOT results and the cache key
+    # does NOT include the host's CPU feature set — this VM migrates across
+    # feature sets between sessions, and loading a foreign-machine entry
+    # SIGILL-aborts mid-run (observed 2026-08-17: "Machine type used for
+    # XLA:CPU compilation doesn't match", then 'Fatal Python error:
+    # Aborted' inside a jitted train step). Segregate CPU entries into a
+    # per-machine subdir (feature-set hash); TPU entries (the expensive
+    # 1-5 min relayed compiles) share one stable subdir. The platform is
+    # read WITHOUT initializing the backend (init blocks for minutes
+    # during relay outages): every CPU-forcing path in this repo sets
+    # jax_platforms/JAX_PLATFORMS to 'cpu' explicitly.
+    plats = (getattr(jax.config, "jax_platforms", None)
+             or os.environ.get("JAX_PLATFORMS", ""))
+    cache_dir = cache_dir or env or _DEFAULT_DIR
+    if "cpu" in str(plats):
+        import hashlib
+
+        try:
+            with open("/proc/cpuinfo") as f:
+                feats = [ln for ln in f if ln.startswith("flags")][:1]
+            mh = hashlib.sha1("".join(feats).encode()).hexdigest()[:10]
+        except OSError:
+            return ""
+        cache_dir = os.path.join(cache_dir, f"cpu-{mh}")
+    else:
+        cache_dir = os.path.join(cache_dir, "tpu")
+    os.makedirs(cache_dir, exist_ok=True)
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # The relay makes even small compiles expensive (~30-60 s round trip),
