@@ -30,32 +30,24 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
 
     import jax
 
-    # XLA:CPU cache entries are machine-code AOT results and the cache key
-    # does NOT include the host's CPU feature set — this VM migrates across
-    # feature sets between sessions, and loading a foreign-machine entry
-    # SIGILL-aborts mid-run (observed 2026-08-17: "Machine type used for
-    # XLA:CPU compilation doesn't match", then 'Fatal Python error:
-    # Aborted' inside a jitted train step). Segregate CPU entries into a
-    # per-machine subdir (feature-set hash); TPU entries (the expensive
-    # 1-5 min relayed compiles) share one stable subdir. The platform is
-    # read WITHOUT initializing the backend (init blocks for minutes
-    # during relay outages): every CPU-forcing path in this repo sets
+    # TPU-only. XLA:CPU cache entries are machine-code AOT results whose
+    # load-time compatibility check covers both the host CPU feature set
+    # (this VM migrates across feature sets between sessions) AND
+    # compile-tuning pseudo-features like +prefer-no-gather that differ
+    # between entry points — a mismatched entry SIGILL-aborts mid-run
+    # (observed 2026-08-17: "Machine type used for XLA:CPU compilation
+    # doesn't match", then 'Fatal Python error: Aborted' inside a jitted
+    # train step; a per-machine-hash subdir still hit the pseudo-feature
+    # variant). CPU compiles cost seconds; only the relayed-TPU compiles
+    # (1-5 min each) need persistence. The platform is read WITHOUT
+    # initializing the backend (init blocks for minutes during relay
+    # outages): every CPU-forcing path in this repo sets
     # jax_platforms/JAX_PLATFORMS to 'cpu' explicitly.
     plats = (getattr(jax.config, "jax_platforms", None)
              or os.environ.get("JAX_PLATFORMS", ""))
-    cache_dir = cache_dir or env or _DEFAULT_DIR
     if "cpu" in str(plats):
-        import hashlib
-
-        try:
-            with open("/proc/cpuinfo") as f:
-                feats = [ln for ln in f if ln.startswith("flags")][:1]
-            mh = hashlib.sha1("".join(feats).encode()).hexdigest()[:10]
-        except OSError:
-            return ""
-        cache_dir = os.path.join(cache_dir, f"cpu-{mh}")
-    else:
-        cache_dir = os.path.join(cache_dir, "tpu")
+        return ""
+    cache_dir = os.path.join(cache_dir or env or _DEFAULT_DIR, "tpu")
     os.makedirs(cache_dir, exist_ok=True)
 
     jax.config.update("jax_compilation_cache_dir", cache_dir)
