@@ -66,7 +66,8 @@ def make_task(seed=0):
     gts, grids = [], []
     for i in range(N):
         ang = rng.uniform(-0.05, 0.05)
-        tx, ty = rng.uniform(-10, 10, 2) * 2.0 / RES  # normalized units
+        # theta convention: center-origin PIXEL map (metrics.py docstring)
+        tx, ty = rng.uniform(-10, 10, 2)
         ca, sa = np.cos(ang), np.sin(ang)
         theta = np.asarray([[ca, -sa, tx], [sa, ca, ty]], np.float32)
         gt = M.registration_gt_flow(theta, RES, RES)
@@ -79,7 +80,11 @@ def make_task(seed=0):
 
 
 VARIANTS = {
-    # the exact 256²-recipe STN (science_final.py res>=256 branch)
+    # the exact 256²-recipe STN (science_final.py res>=256 branch).
+    # CPU probe result (step 100): DIVERGES — flow 92 px, EPE 134 vs
+    # identity 3.1. The 256² failure is R-side optimization, NOT the
+    # G race: the composed d6 multiscale heads blow up even in a pure
+    # photometric fit.
     "recipe_d6": dict(ngf=16, depth=6, multiscale=True, level_scale=0.12,
                       smooth_order=2, lam=0.4),
     # ablations
@@ -91,6 +96,13 @@ VARIANTS = {
                  smooth_order=2, lam=0.0),
     "ngf32": dict(ngf=32, depth=6, multiscale=True, level_scale=0.25,
                   smooth_order=2, lam=0.4),
+    # stabilizers for the observed divergence
+    "bounded": dict(ngf=16, depth=6, multiscale=True, level_scale=0.25,
+                    smooth_order=2, lam=0.4, bounded_flow=0.15),
+    "lr3e4": dict(ngf=16, depth=6, multiscale=True, level_scale=0.12,
+                  smooth_order=2, lam=0.4, lr=3e-4),
+    "single_head": dict(ngf=16, depth=6, multiscale=False,
+                        smooth_order=2, lam=0.4),
 }
 
 
@@ -99,9 +111,10 @@ def run(name, cfg, steps, a, b, gts, fout):
     from nemar_tpu.utils import metrics as M
 
     lam = cfg.pop("lam")
+    lr = cfg.pop("lr", 1e-3)
     stn = UnetSTN(in_channels=2, **cfg)
     params = stn.init(jax.random.key(0), a, b, (a,))
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3, b1=0.9))
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr, b1=0.9))
     ost = tx.init(params)
 
     def loss_fn(p):
