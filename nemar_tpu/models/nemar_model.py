@@ -120,6 +120,13 @@ class NEMARModel(BaseModel):
                             help="damping multiplier on each multiscale "
                                  "head's residual field (0.25 keeps early "
                                  "fields sub-pixel)")
+        parser.add_argument("--stn_head_min_res", type=int, default=0,
+                            help="skip multiscale flow heads below this "
+                                 "feature resolution: ultra-coarse heads "
+                                 "(4²/8² at 256², stn_depth 6) random-walk "
+                                 "under Adam with weak photometric "
+                                 "anchoring and diverge even in a direct "
+                                 "fit (science_256_direct)")
         parser.add_argument("--g_batch", action="store_true",
                             help="STN-first forward with ONE batched G pass "
                                  "at 2N (identical math; measured ~10% "

@@ -47,6 +47,7 @@ def define_stn(opt, stn_type: str):
             warp_impl=wi,
             multiscale=getattr(opt, "stn_multiscale", False),
             level_scale=getattr(opt, "stn_level_scale", 1.0),
+            head_min_res=getattr(opt, "stn_head_min_res", 0),
         )
     raise NotImplementedError(f"stn type {stn_type!r}")
 

@@ -65,6 +65,7 @@ class UnetSTN(nn.Module):
     bounded_flow: float = 0.0  # >0: tanh-bound the field (normalized units)
     multiscale: bool = False  # coarse-to-fine flow heads at each decoder level
     level_scale: float = 1.0  # damping on each head's residual field
+    head_min_res: int = 0  # skip multiscale heads below this resolution
     head_impl: str = "xla"  # 'fact': (3x1)∘(1x3) factorized 2-lane heads
     # 'fused': conv-then-d2s decoder (ops/up_conv.py). Measured a WASH
     # in-step (probe r3m: 234.6 vs 233.0 ms b32; STN-only 36.6 vs 35.5) —
@@ -170,7 +171,15 @@ class UnetSTN(nn.Module):
             h = instance_norm_act(h, act="leaky_relu")
             if i > 0:
                 h = jnp.concatenate([skips[i - 1], h], axis=-1)
-                if self.multiscale:
+                # head_min_res: skip heads below this resolution. The
+                # ultra-coarse heads (4²/8² at depth 6) are the 256²
+                # divergence mechanism (science_256_direct): their
+                # photometric anchoring is averaged over huge cells (weak,
+                # noisy) while Adam's scale-free steps random-walk the
+                # zero-init weights, and per-level order-2 TV is nearly
+                # blind to a 4² field — the composed flow blows up even in
+                # a pure photometric fit.
+                if self.multiscale and h.shape[1] >= self.head_min_res:
                     flows.append(flow_head(h))
         flows.append(flow_head(h))  # full-resolution head
 

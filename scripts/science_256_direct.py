@@ -103,6 +103,9 @@ VARIANTS = {
                   smooth_order=2, lam=0.4, lr=3e-4),
     "single_head": dict(ngf=16, depth=6, multiscale=False,
                         smooth_order=2, lam=0.4),
+    # structural fix: no heads below 32² (drop the drift-prone 4²/8²/16²)
+    "minres32": dict(ngf=16, depth=6, multiscale=True, level_scale=0.25,
+                     smooth_order=2, lam=0.4, head_min_res=32),
 }
 
 
