@@ -69,20 +69,19 @@ def main():
     ] + (["--synthetic_fresh_affine"] if fresh else []) + ((["--stn_multiscale", "--stn_level_scale", "0.25",
            "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
            "--stn_grad_clip", "0.5"] if res < 256 else
-          # v10 scaling (round 3): verbatim v7 DIVERGES at 256² (flow
-          # saturates ~130 px). TV smoothness is mean |Δflow per px| in
-          # normalized units -> same physical field has 4x smaller per-px
-          # deltas at 256², so lambda_smooth x4; stn_depth 6 adds two
-          # coarser (4x-larger-cell) heads -> halve level_scale and clip.
-          # order-2 TV (curvature): round-3 v10 runs reached cos 0.998 but
-          # only ~40% field magnitude — order-1 TV penalizes an affine
-          # field's magnitude directly (constant first differences), so
-          # lambda 40 sets an equilibrium below the true warp. Curvature
-          # is zero for the affine GT and still regularizes deformations.
-          ["--stn_multiscale", "--stn_level_scale", "0.12",
+          # 256² scaling (round 3, diagnosed in science_256_direct): the
+          # d6 multiscale arm DIVERGES even in a DIRECT photometric fit
+          # (flow 118 px by step 100) — the ultra-coarse heads random-walk
+          # under Adam with weak photometric anchoring. The tanh flow
+          # bound fixes it outright: the bounded direct fit reaches
+          # 0.5 px vs identity 8.1 in 300 steps. order-2 TV (curvature)
+          # stays: order-1 penalizes an affine field's magnitude directly
+          # (the v10 40%-magnitude stall).
+          ["--stn_multiscale", "--stn_level_scale", "0.25",
+           "--stn_bounded_flow", "0.15",
            "--lambda_smooth", "40", "--stn_smooth_order", "2",
-           "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "12",
-           "--stn_grad_clip", "0.25"])
+           "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
+           "--stn_grad_clip", "0.5"])
          if stn == "unet" else
          ["--synthetic_fresh_affine", "--lambda_smooth", "0.1",
           "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "5",
