@@ -68,7 +68,12 @@ def main():
         "--recon_pyramid", "3", "--border_mask",
     ] + (["--synthetic_fresh_affine"] if fresh else []) + ((["--stn_multiscale", "--stn_level_scale", "0.25",
            "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
-           "--stn_grad_clip", "0.5"] if res < 256 else
+           "--stn_grad_clip", "0.5"]
+          # >=128²: add the tanh flow bound (harmless at the proven 64²
+          # point but REQUIRED >=256²; bound 2x the task's max |flow|)
+          + (["--stn_bounded_flow", str(round(0.05 * 2 * 2.5, 3)),
+              "--stn_smooth_order", "2"] if res >= 128 else [])
+          if res < 256 else
           # 256² scaling (round 3, diagnosed in science_256_direct): the
           # d6 multiscale arm DIVERGES even in a DIRECT photometric fit
           # (flow 118 px by step 100) — the ultra-coarse heads random-walk
