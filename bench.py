@@ -328,18 +328,24 @@ def main():
         return
 
     pairs = None
-    # NOTE: block_impl pallas combined with a c7 rewrite OOM-kills the
-    # remote compile helper (probe r3i/pauto) and showed no in-step win
-    # over xla (probe r3f: 262.5 vs 261.5 ms) — the ladder leads with the
-    # measured-fastest xla+auto step (probe r3j/r3k).
-    for batch, impl, c7 in ((48, "xla", "auto"), (32, "xla", "auto"),
-                            (32, "xla", "xla"), (16, "xla", "auto"),
-                            (8, "xla", "xla")):
+    # Ladder head (probes r3n/r3o/r3q): at b48 the fused Pallas trunk wins
+    # (338.5 vs 347.8/348.3 ms xla in adjacent windows) and the flat Adam
+    # removes a ~6 ms launch-bound update. The pallas+c7 combination
+    # compiles when the on-host compile helper is uncontended (its earlier
+    # SIGKILL was flaky — probe r3n) — the ladder steps down on any
+    # compile failure.
+    for batch, impl, c7, fused in (
+            (48, "pallas", "auto", True), (48, "pallas", "auto", False),
+            (48, "xla", "auto", True), (48, "xla", "auto", False),
+            (32, "xla", "auto", False), (32, "xla", "xla", False),
+            (16, "xla", "auto", False), (8, "xla", "xla", False)):
         try:
-            pairs = bench_train_step(batch, block_impl=impl, c7_impl=c7)
+            pairs = bench_train_step(batch, block_impl=impl, c7_impl=c7,
+                                     opt_fused=fused)
             break
         except Exception as e:  # OOM / kernel compile failure: step down
-            log(f"batch {batch} impl {impl} failed: {type(e).__name__}: {e}")
+            log(f"batch {batch} impl {impl} fused {fused} failed: "
+                f"{type(e).__name__}: {e}")
     if pairs is None:
         print(json.dumps({
             "metric": "nemar_train_pairs_per_sec_per_chip_256",
