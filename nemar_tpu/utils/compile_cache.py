@@ -45,7 +45,13 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     # jax_platforms/JAX_PLATFORMS to 'cpu' explicitly.
     plats = (getattr(jax.config, "jax_platforms", None)
              or os.environ.get("JAX_PLATFORMS", ""))
-    if "cpu" in str(plats):
+    # Only the PRIMARY platform matters: the sitecustomize registers the
+    # relayed TPU as 'axon,cpu' (cpu as fallback), and a substring test
+    # against that silently disabled the cache for every TPU entry point
+    # (round-3 session-4 finding). CPU-forcing paths set plats to exactly
+    # 'cpu', which is the case the SIGILL hazard note below is about.
+    primary = str(plats).split(",")[0].strip()
+    if primary == "cpu":
         return ""
     cache_dir = os.path.join(cache_dir or env or _DEFAULT_DIR, "tpu")
     os.makedirs(cache_dir, exist_ok=True)
