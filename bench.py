@@ -328,14 +328,13 @@ def main():
         return
 
     pairs = None
-    # Ladder head (probes r3n/r3o/r3q): at b48 the fused Pallas trunk wins
-    # (338.5 vs 347.8/348.3 ms xla in adjacent windows) and the flat Adam
-    # removes a ~6 ms launch-bound update. The pallas+c7 combination
-    # compiles when the on-host compile helper is uncontended (its earlier
-    # SIGKILL was flaky — probe r3n) — the ladder steps down on any
-    # compile failure.
+    # Ladder head (probe r3q, one window): b48 pallas trunk 341.0 ms
+    # (140.8 pairs/s) vs b48 xla+opt_fused 344.8 — pallas trunk leads.
+    # pallas+opt_fused TOGETHER reliably SIGKILLs the compile helper
+    # (r3q re-confirmed r3f's OOM on an otherwise idle helper; r3n's
+    # success was without the flat-Adam program) — not in the ladder.
     for batch, impl, c7, fused in (
-            (48, "pallas", "auto", True), (48, "pallas", "auto", False),
+            (48, "pallas", "auto", False),
             (48, "xla", "auto", True), (48, "xla", "auto", False),
             (32, "xla", "auto", False), (32, "xla", "xla", False),
             (16, "xla", "auto", False), (8, "xla", "xla", False)):
