@@ -348,10 +348,19 @@ class NEMARModel(BaseModel):
         """SURVEY §4.2 forward: both warp orders from one φ."""
         cg, cr = self._cast(pg), self._cast(pr)
         ca, cb = self._cast(a), self._cast(b)
-        stn_apply = (
-            jax.checkpoint(self.netR.apply)
-            if getattr(self.opt, "remat", False) else self.netR.apply
-        )
+        if getattr(self.opt, "remat", False):
+            # n_grad_imgs is a STATIC routing arg (selects which warp inputs
+            # get an image-gradient path); jax.checkpoint would trace it into
+            # a bool[] tracer (TracerBoolConversionError in grid_sample_multi)
+            # so close over it instead of passing it through the wrapper.
+            def stn_apply(cr_, a_, b_, imgs_, n_grad_imgs=0):
+                import functools
+
+                f = jax.checkpoint(functools.partial(
+                    self.netR.apply, n_grad_imgs=n_grad_imgs))
+                return f(cr_, a_, b_, imgs_)
+        else:
+            stn_apply = self.netR.apply
         if self.field_source == "pair" and getattr(self.opt, "g_batch", False):
             # φ depends only on (a, b), so R runs FIRST and the two G passes
             # — G(a) and G(warp(a, φ)) — fuse into ONE batched apply at 2N.

@@ -47,10 +47,36 @@ def test_batch_norm_d_step_runs():
     assert all(np.isfinite(v) for v in losses.values()), losses
 
 
-def test_compile_cache_enabled():
+def test_compile_cache_cpu_noop():
+    """The persistent compile cache is TPU-ONLY by design: XLA:CPU AOT
+    entries are machine code and SIGILL when the VM migrates CPU feature
+    sets (round-3 finding). Under the CPU-forced test mesh the call must
+    be a no-op; on a tpu-primary platform it must configure the dir."""
     import jax
 
     from nemar_tpu.utils.compile_cache import enable_compilation_cache
 
     d = enable_compilation_cache()
-    assert d and jax.config.jax_compilation_cache_dir == d
+    if jax.default_backend() == "tpu":  # not the case under conftest
+        assert d and jax.config.jax_compilation_cache_dir == d
+    else:
+        assert not d  # returns '' without touching jax_compilation_cache_dir
+
+
+def test_remat_step_runs():
+    """--remat (config #4's 512² path) must not trace the STN's static
+    n_grad_imgs routing arg through jax.checkpoint (round-3 regression:
+    TracerBoolConversionError in grid_sample_multi at every 512² ladder
+    rung once the grad-skip warp landed)."""
+    m = create_model(_opt(["--remat", "--grad_accum", "2", "--bf16",
+                           "--pool_size", "0", "--c7_impl", "auto"]))
+    m.setup(m.opt)
+    rng = np.random.default_rng(0)
+    m.set_input({
+        "A": rng.standard_normal((2, 32, 32, 1), dtype=np.float32),
+        "B": rng.standard_normal((2, 32, 32, 3), dtype=np.float32),
+        "A_paths": ["x", "x"],
+    })
+    m.optimize_parameters()
+    losses = m.get_current_losses()
+    assert all(np.isfinite(v) for v in losses.values()), losses
