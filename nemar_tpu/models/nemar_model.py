@@ -98,7 +98,7 @@ class NEMARModel(BaseModel):
                                  "heads use 2 of 128 MXU output lanes under "
                                  "the direct lowering (ops/conv_fact.py)")
         parser.add_argument("--stn_up_impl", type=str, default="xla",
-                            choices=("xla", "fused"),
+                            choices=("xla", "fused", "fused_small"),
                             help="UNet-STN decoder upsample+conv: 'fused' = "
                                  "exact conv-then-depth-to-space rewrite "
                                  "(2.25x fewer MACs — ops/up_conv.py), but "

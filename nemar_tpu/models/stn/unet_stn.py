@@ -140,7 +140,14 @@ class UnetSTN(nn.Module):
         for i in reversed(range(self.depth)):
             nn_, hh_, ww_, ch_ = h.shape
             out_ch = chans[i - 1] if i > 0 else self.ngf
-            if self.up_impl == "fused":
+            # 'fused_small': fused only where the direct lowering is
+            # lane-starved (4*out_ch still fits the 128 MXU lanes — the
+            # shallow 32-ch levels r3p measured at 3x their FLOP floor);
+            # deep levels keep XLA's native lowering, which is already
+            # full-lane there and avoids the d2s interleave traffic.
+            use_fused = self.up_impl == "fused" or (
+                self.up_impl == "fused_small" and 4 * out_ch <= 128)
+            if use_fused:
                 # Exact conv-then-depth-to-space rewrite: 2.25x fewer MACs,
                 # 4x output lanes, no materialized upsampled activation
                 # (ops/up_conv.py). Same {kernel,bias} tree path as the
@@ -196,7 +203,10 @@ class UnetSTN(nn.Module):
 
         level_reg = smoothness_loss(flows[0], self.smooth_type,
                                     self.smooth_order)
-        flow = jax.image.resize(flows[0], (n, hh, ww, 2), method="bilinear")
+        # single-head default: flows[0] is already full-res — an identity
+        # resize here still lowers to real gather/weighting work
+        flow = (flows[0] if flows[0].shape[1] == hh else
+                jax.image.resize(flows[0], (n, hh, ww, 2), method="bilinear"))
         for f in flows[1:]:
             level_reg = level_reg + smoothness_loss(
                 f, self.smooth_type, self.smooth_order)

@@ -52,8 +52,15 @@ def test_up2_conv3_grads_match():
     np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=2e-5)
 
 
-def test_unet_stn_up_impl_parity_same_params():
-    """Same param tree drives both decoder impls to the same flow."""
+@pytest.mark.parametrize("impl", ["fused", "fused_small"])
+def test_unet_stn_up_impl_parity_same_params(impl):
+    """Same param tree drives every decoder impl to the same flow.
+
+    'fused_small' applies the rewrite only at levels where 4*out_ch fits
+    the 128 MXU lanes (the lane-starved shallow levels probe r3p found at
+    3x their FLOP floor) — the mixed policy must still be exact and
+    checkpoint-compatible with the direct lowering.
+    """
     from nemar_tpu.models.stn.unet_stn import UnetSTN
 
     rng = np.random.default_rng(2)
@@ -62,7 +69,7 @@ def test_unet_stn_up_impl_parity_same_params():
 
     kw = dict(in_channels=4, ngf=8, depth=3, multiscale=True,
               level_scale=0.5)
-    m_fused = UnetSTN(up_impl="fused", **kw)
+    m_fused = UnetSTN(up_impl=impl, **kw)
     m_xla = UnetSTN(up_impl="xla", **kw)
     params = m_fused.init(jax.random.PRNGKey(0), a, b, (a,))
     # identical tree paths -> checkpoint compatible across impls
