@@ -88,13 +88,17 @@ def _train_epochs(opt, dataset, dataset_size, model, visualizer, total_iters, sp
                 model.set_input(data)
                 model.optimize_parameters()
 
-            if total_iters % opt.display_freq < opt.batch_size * spe:
+            # freq <= 0 disables the periodic action (reference semantics
+            # only define positive freqs; 0 would crash the modulo)
+            if opt.display_freq > 0 and (
+                    total_iters % opt.display_freq < opt.batch_size * spe):
                 model.forward()
                 visualizer.display_current_results(
                     model.get_current_visuals(), epoch, True
                 )
 
-            if total_iters % opt.print_freq < opt.batch_size * spe:
+            if opt.print_freq > 0 and (
+                    total_iters % opt.print_freq < opt.batch_size * spe):
                 losses = model.get_current_losses()  # device sync point
                 t_comp = (time.time() - iter_start_time) / opt.batch_size
                 visualizer.print_current_losses(epoch, epoch_iter, losses, t_comp, t_data)
@@ -102,7 +106,8 @@ def _train_epochs(opt, dataset, dataset_size, model, visualizer, total_iters, sp
                     epoch, float(epoch_iter) / max(dataset_size, 1), losses
                 )
 
-            if total_iters % opt.save_latest_freq < opt.batch_size * spe:
+            if opt.save_latest_freq > 0 and (
+                    total_iters % opt.save_latest_freq < opt.batch_size * spe):
                 print(f"saving the latest model (epoch {epoch}, total_iters {total_iters})")
                 save_suffix = f"iter_{total_iters}" if opt.save_by_iter else "latest"
                 model.save_networks(save_suffix)
