@@ -39,7 +39,10 @@ def test_train_then_test_cli(tmp_path):
     r = _run(
         [os.path.join(REPO, "train.py"), *common,
          "--batch_size", "8", "--n_epochs", "1", "--n_epochs_decay", "1",
-         "--save_epoch_freq", "1", "--print_freq", "8", "--display_freq", "8"],
+         "--save_epoch_freq", "1", "--print_freq", "8", "--display_freq", "8",
+         # freq <= 0 disables the periodic action (regression: used to
+         # crash the loop's modulo)
+         "--save_latest_freq", "0"],
         cwd=str(tmp_path),
     )
     assert r.returncode == 0, f"train.py failed:\n{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
