@@ -121,7 +121,7 @@ def _train_epochs(opt, dataset, dataset_size, model, visualizer, total_iters, sp
             model.optimize_parameters_scan(pending)
             pending = []
 
-        if epoch % opt.save_epoch_freq == 0:
+        if opt.save_epoch_freq > 0 and epoch % opt.save_epoch_freq == 0:
             print(f"saving the model at the end of epoch {epoch}, iters {total_iters}")
             model.save_networks("latest")
             model.save_networks(epoch)
