@@ -135,10 +135,25 @@ def main():
                                  for j in range(len(gts))]))
             epe0 = float(np.mean([
                 M.epe_px(np.zeros_like(g), g, res, res) for g in gts]))
+            # direction cosines (round-4 diagnostics): 'cos' matches the
+            # adversarial gate's mean-vector form; 'pcos' is per-pixel —
+            # distinguishes "globally right, locally noisy" from "antiparallel"
+            cos, pcos = [], []
+            for j in range(len(gts)):
+                pv, gv = flow[j].mean((0, 1)), gts[j].mean((0, 1))
+                den = np.linalg.norm(pv) * np.linalg.norm(gv)
+                if den > 1e-8:
+                    cos.append(float(pv @ gv / den))
+                num = (flow[j] * gts[j]).sum(-1)
+                dn = (np.linalg.norm(flow[j], axis=-1)
+                      * np.linalg.norm(gts[j], axis=-1) + 1e-8)
+                pcos.append(float((num / dn).mean()))
             rec.update({
                 f"epe_{key}": round(epe, 3), f"epe0_{key}": round(epe0, 3),
                 f"flow_{key}": round(float(np.mean(np.abs(flow))) * res / 2, 3),
                 f"ncc_{key}": round(M.ncc(reg, eb), 4),
+                f"cos_{key}": round(float(np.mean(cos)) if cos else 0.0, 3),
+                f"pcos_{key}": round(float(np.mean(pcos)), 3),
             })
         f.write(json.dumps(rec) + "\n")
         f.flush()

@@ -52,8 +52,16 @@ def test_up2_conv3_grads_match():
     np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), atol=2e-5)
 
 
-@pytest.mark.parametrize("impl", ["fused", "fused_small"])
-def test_unet_stn_up_impl_parity_same_params(impl):
+@pytest.mark.parametrize("impl,ngf", [
+    ("fused", 8),
+    ("fused_small", 8),
+    # ngf=32 depth=3: the deepest decoder level has out_ch=64 (4*64 > 128
+    # lanes -> xla) while the shallow levels stay fused — exercises the
+    # MIXED fused+xla policy, not just the all-fused degenerate case
+    # (round-3 advisor finding).
+    ("fused_small", 32),
+])
+def test_unet_stn_up_impl_parity_same_params(impl, ngf):
     """Same param tree drives every decoder impl to the same flow.
 
     'fused_small' applies the rewrite only at levels where 4*out_ch fits
@@ -67,7 +75,7 @@ def test_unet_stn_up_impl_parity_same_params(impl):
     a = jnp.asarray(rng.standard_normal((2, 32, 32, 1), dtype=np.float32))
     b = jnp.asarray(rng.standard_normal((2, 32, 32, 3), dtype=np.float32))
 
-    kw = dict(in_channels=4, ngf=8, depth=3, multiscale=True,
+    kw = dict(in_channels=4, ngf=ngf, depth=3, multiscale=True,
               level_scale=0.5)
     m_fused = UnetSTN(up_impl=impl, **kw)
     m_xla = UnetSTN(up_impl="xla", **kw)
