@@ -46,11 +46,23 @@ def main():
     # pairs a G that memorizes per-sample geometry caps the photometric
     # signal R sees (the round-2 memorization finding, and the lever that
     # unlocked the affine arm in v9).
-    fresh = len(sys.argv) > 7 and sys.argv[7] == "fresh"
+    fresh = "fresh" in sys.argv[7:]
+    # Round-4 capture-range scaling: the coarsest recon-pyramid cell is
+    # 2^pyr px while the task's misalignment scales with res (identity EPE
+    # 2.5/5.6/11.1 px at 64/128/256). Pyramid 3 keeps the misalignment at
+    # ~0.3 coarsest-cells at 64² (converges) but 1.4 cells at 256² — no
+    # photometric slope reaches R, and the 256² joint run stalled at
+    # identity (science_final_r256_fresh.jsonl, round 4). Scale the
+    # pyramid with res to hold the capture ratio; override with pyr=N.
+    pyr = 3 + max(0, int(np.log2(res / 64)))
+    for tok in sys.argv[7:]:
+        if tok.startswith("pyr="):
+            pyr = int(tok.split("=")[1])
     size = 192
     tag = ((f"_{stn}" if stn != "unet" else "")
            + (f"_s{seed}" if seed else "") + (f"_r{res}" if res != 64 else "")
-           + ("_fresh" if fresh else ""))
+           + ("_fresh" if fresh else "")
+           + (f"_p{pyr}" if pyr != 3 else ""))
 
     from nemar_tpu.data import create_dataset
     from nemar_tpu.models import create_model
@@ -65,7 +77,7 @@ def main():
         "--crop_size", str(res), "--load_size", str(res),
         "--batch_size", "8", "--synthetic_size", str(size),
         "--synthetic_pad_crop", "--synthetic_appearance", "smooth",
-        "--recon_pyramid", "3", "--border_mask",
+        "--recon_pyramid", str(pyr), "--border_mask",
     ] + (["--synthetic_fresh_affine"] if fresh else []) + ((["--stn_multiscale", "--stn_level_scale", "0.25",
            "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
            "--stn_grad_clip", "0.5"]
