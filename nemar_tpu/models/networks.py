@@ -214,7 +214,7 @@ class ResnetGenerator(nn.Module):
             mult = 2 ** (self.n_downsampling - i)
             ch = self.ngf * mult // 2
             if use_fused_dec:
-                from nemar_tpu.ops.convt_fused import (
+                from nemar_tpu.ops.attic.convt_fused import (
                     convt_kernel_supported, fused_convt_in,
                 )
 
@@ -228,7 +228,7 @@ class ResnetGenerator(nn.Module):
                 if convt_kernel_supported(h.shape, h.dtype):
                     h = fused_convt_in(h, wk)
                 else:
-                    from nemar_tpu.ops.convt_fused import convt_in_reference
+                    from nemar_tpu.ops.attic.convt_fused import convt_in_reference
 
                     h = convt_in_reference(h, wk)
             else:
@@ -255,7 +255,7 @@ class ResnetGenerator(nn.Module):
             # relayouts dominate), so the kernel ships under 'pallas_all'
             # only, with the direct conv as the production path. Params
             # keep the Conv_3 {kernel, bias} tree; this bias is live.
-            from nemar_tpu.ops.conv_head import conv_head
+            from nemar_tpu.ops.attic.conv_head import conv_head
 
             def head_params(key, cin, cout):
                 kk, kb = jax.random.split(key)

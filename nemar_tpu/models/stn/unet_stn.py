@@ -152,7 +152,7 @@ class UnetSTN(nn.Module):
                 # 4x output lanes, no materialized upsampled activation
                 # (ops/up_conv.py). Same {kernel,bias} tree path as the
                 # nn.Conv it replaces -> checkpoint-compatible.
-                from nemar_tpu.ops.up_conv import up2_conv3
+                from nemar_tpu.ops.attic.up_conv import up2_conv3
 
                 name = f"Conv_{cidx}"
                 cidx += 1

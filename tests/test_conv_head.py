@@ -3,8 +3,12 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from nemar_tpu.ops.conv_head import conv_head
+from nemar_tpu.ops.attic.conv_head import conv_head
+
+# archive tier: parity coverage for a measured-losing kernel (ops/attic)
+pytestmark = pytest.mark.attic
 
 
 def _direct(x, w):

@@ -4,8 +4,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from nemar_tpu.ops.convt_fused import (
+from nemar_tpu.ops.attic.convt_fused import (
+
+# archive tier: parity coverage for a measured-losing kernel (ops/attic)
+pytestmark = pytest.mark.attic
     convt_in_reference,
     fused_convt_in,
 )

@@ -12,7 +12,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from nemar_tpu.ops.up_conv import up2_conv3, up2_conv3_reference
+from nemar_tpu.ops.attic.up_conv import up2_conv3, up2_conv3_reference
+
+# archive tier: parity coverage for a measured-losing kernel (ops/attic)
+pytestmark = pytest.mark.attic
 
 
 @pytest.mark.parametrize("shape,cout", [
