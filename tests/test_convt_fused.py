@@ -7,12 +7,12 @@ import numpy as np
 import pytest
 
 from nemar_tpu.ops.attic.convt_fused import (
-
-# archive tier: parity coverage for a measured-losing kernel (ops/attic)
-pytestmark = pytest.mark.attic
     convt_in_reference,
     fused_convt_in,
 )
+
+# archive tier: parity coverage for a measured-losing kernel (ops/attic)
+pytestmark = pytest.mark.attic
 
 
 def _data(rng, n=2, h=8, w=8, ci=128, co=128, dtype=np.float32):
