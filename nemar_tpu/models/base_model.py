@@ -81,6 +81,17 @@ class BaseModel(ABC):
                 resume = True
         if not self.isTrain or resume:
             load_suffix = f"iter_{opt.load_iter}" if opt.load_iter > 0 else opt.epoch
+            if self.isTrain:
+                # Resumed runs must not train their first epoch at full
+                # opt.lr: re-derive the multiplier at the last completed
+                # epoch (train.py steps the LR at epoch END, so epoch
+                # epoch_count trains at fn(epoch_count-1)). Pure policies
+                # (linear/step/cosine) are exact here; plateau returns its
+                # multiplier, which load_networks below restores from
+                # checkpoint_meta.json along with {best,bad} and the exact
+                # stored current_lr.
+                ec = getattr(opt, "epoch_count", 1)
+                self.current_lr = opt.lr * self.lr_fn(max(0, ec - 1), None)
             self.load_networks(load_suffix)
         self.print_networks(getattr(opt, "verbose", False))
 
@@ -176,6 +187,12 @@ class BaseModel(ABC):
                 force=True,
             )
         meta = {"latest": suffix, "step": int(self.state.step)}
+        if self.isTrain and hasattr(self, "current_lr"):
+            # LR-schedule controller state rides the meta file: the plateau
+            # policy's {best,bad,mult} is host-side (not in the jax state
+            # tree), and current_lr pins the resumed run's first epoch.
+            meta["lr_state"] = {"current_lr": float(self.current_lr),
+                                "plateau": getattr(self.lr_fn, "state", None)}
         if is_async:
             # training continues while orbax writes; the meta is published by
             # the next save or the atexit join.
@@ -232,6 +249,18 @@ class BaseModel(ABC):
             print(f"loading the model from {path}")
             restored = self._ckpt.restore(path, self.state)
             self.state = replicate(restored, self.mesh)
+            lrs = meta.get("lr_state")
+            if lrs:
+                # restore the plateau controller, then RE-DERIVE current_lr
+                # from the multiplier rather than trusting the stored value:
+                # a resume may jump --epoch_count, making the stored lr
+                # stale for the pure policies, while plateau's multiplier
+                # lives in the restored {best,bad,mult} state.
+                pstate = getattr(self.lr_fn, "state", None)
+                if pstate is not None and lrs.get("plateau"):
+                    pstate.update(lrs["plateau"])
+                ec = getattr(self.opt, "epoch_count", 1)
+                self.current_lr = self.opt.lr * self.lr_fn(max(0, ec - 1), None)
             return
 
         updates = {}

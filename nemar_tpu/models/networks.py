@@ -543,5 +543,9 @@ def get_lr_multiplier_fn(opt) -> Callable[[int, float], float]:
                         state["bad"] = 0
             return state["mult"]
 
+        # exposed so BaseModel can persist/restore the controller across
+        # --continue_train (round-3 verdict: {best,bad,mult} lived only in
+        # this closure and resumed runs silently restarted the schedule)
+        fn.state = state
         return fn
     raise NotImplementedError(f"learning rate policy [{policy}] is not implemented")
