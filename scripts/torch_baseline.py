@@ -148,8 +148,48 @@ def measure_cpu_gemm_tflops():
     return 2 * 2048**3 / best / 1e12
 
 
+def main_stn():
+    """Config-#2 denominator: UNet-STN fwd+bwd (b1 256², L1+smooth loss),
+    eager torch CPU -> A100 extrapolation by the same sustained-GEMM chain
+    as the step baseline (round-4 verdict item 5: BENCH config #2 carried
+    a placeholder vs_baseline)."""
+    torch.manual_seed(0)
+    size = 256
+    R = UnetSTN()
+    a = torch.randn(1, 1, size, size)
+    b = torch.randn(1, 3, size, size)
+
+    def fwd_bwd():
+        R.zero_grad()
+        flow = R(a, b)
+        wb = warp(b, flow)
+        smooth = (flow[:, :, 1:].sub(flow[:, :, :-1]).abs().mean()
+                  + flow[:, :, :, 1:].sub(flow[:, :, :, :-1]).abs().mean())
+        loss = F.l1_loss(wb, b) + smooth
+        loss.backward()
+        return float(loss)
+
+    log(f"torch {torch.__version__}, threads {torch.get_num_threads()}, stn-only")
+    fwd_bwd()
+    n = 5
+    t0 = time.time()
+    for _ in range(n):
+        fwd_bwd()
+    dt = (time.time() - t0) / n
+    cpu_tflops = measure_cpu_gemm_tflops()
+    a100_ms = dt * 1e3 * cpu_tflops / A100_SUSTAINED_TFLOPS
+    print(json.dumps({
+        "cpu_stn_fwd_bwd_ms": round(dt * 1e3, 1),
+        "cpu_gemm_tflops": round(cpu_tflops, 3),
+        "a100_sustained_tflops_assumed": A100_SUSTAINED_TFLOPS,
+        "derived_a100_stn_fwd_bwd_ms": round(a100_ms, 3),
+    }))
+
+
 def main():
     torch.manual_seed(0)
+    if len(sys.argv) > 1 and sys.argv[1] == "stn":
+        return main_stn()
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     size = 256
     G, D, R = resnet_g(), patchgan_d(), UnetSTN()
