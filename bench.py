@@ -39,6 +39,17 @@ def log(msg):
 
 A100_REF_PAIRS_PER_SEC = 30.0
 
+# Config-#2 denominator (round 4, VERDICT item 5): eager-torch UNet-STN
+# fwd+bwd (b1 256², L1+smooth) measured on this host's CPU and extrapolated
+# to A100 by the BASELINE.md sustained-GEMM chain
+# (`scripts/torch_baseline.py stn`). None -> vs_baseline omitted.
+A100_REF_STN_FWD_BWD_MS = None
+
+# Config-#4 denominator: the 256² baseline (30 pairs/s, generous) scaled by
+# the exact per-pair FLOP ratio — the step is conv-dominated so FLOPs/pair
+# scale with pixels: 563.6 GFLOP @256² -> 2254.4 @512² (BASELINE.md).
+A100_REF_PAIRS_PER_SEC_512 = A100_REF_PAIRS_PER_SEC * 563.6 / 2254.4
+
 
 import contextlib
 
@@ -281,8 +292,14 @@ def bench_config(n: int):
 
         g = jax.jit(jax.grad(loss))
         dt = _timeit(g, (params,), label="unet STN fwd+bwd 256²")
-        return {"metric": "unet_stn_fwd_bwd_ms_256", "value": round(dt * 1e3, 2),
-                "unit": "ms", "vs_baseline": 1.0}
+        out = {"metric": "unet_stn_fwd_bwd_ms_256", "value": round(dt * 1e3, 2),
+               "unit": "ms"}
+        if A100_REF_STN_FWD_BWD_MS:
+            # ratio >1 = faster than the extrapolated A100 eager-torch STN
+            out["vs_baseline"] = round(A100_REF_STN_FWD_BWD_MS / (dt * 1e3), 3)
+        else:
+            out["vs_baseline"] = 1.0
+        return out
     if n == 3:
         pairs = bench_train_step(1, steps=20)
         return {"metric": "nemar_step_pairs_per_sec_b1_256", "value": round(pairs, 2),
@@ -326,7 +343,9 @@ def bench_config(n: int):
                 pairs = bsz * 5 / (time.time() - t0)
                 return {"metric": f"nemar_step_pairs_per_sec_b{bsz}_512",
                         "value": round(pairs, 2),
-                        "unit": "pairs/s", "vs_baseline": 1.0}
+                        "unit": "pairs/s",
+                        "vs_baseline": round(
+                            pairs / A100_REF_PAIRS_PER_SEC_512, 3)}
             except Exception as e:
                 log(f"512² batch {bsz} accum {accum} failed: {type(e).__name__}: {e}")
                 last_err = e
