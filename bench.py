@@ -411,6 +411,11 @@ def main():
         print(json.dumps(bench_config(cfg)))
         return
 
+    print(json.dumps(headline()))
+
+
+def headline():
+    """The driver's headline metric through the batch/impl ladder."""
     pairs = None
     # Ladder head (probe r3q, one window): b48 pallas trunk 341.0 ms
     # (140.8 pairs/s) vs b48 xla+opt_fused 344.8 — pallas trunk leads.
@@ -429,19 +434,12 @@ def main():
         except Exception as e:  # OOM / kernel compile failure: step down
             log(f"batch {batch} impl {impl} fused {fused} failed: "
                 f"{type(e).__name__}: {e}")
-    if pairs is None:
-        print(json.dumps({
-            "metric": "nemar_train_pairs_per_sec_per_chip_256",
-            "value": 0.0, "unit": "pairs/s/chip", "vs_baseline": 0.0,
-        }))
-        return
-
-    print(json.dumps({
+    return {
         "metric": "nemar_train_pairs_per_sec_per_chip_256",
-        "value": round(pairs, 2),
+        "value": round(pairs or 0.0, 2),
         "unit": "pairs/s/chip",
-        "vs_baseline": round(pairs / A100_REF_PAIRS_PER_SEC, 3),
-    }))
+        "vs_baseline": round((pairs or 0.0) / A100_REF_PAIRS_PER_SEC, 3),
+    }
 
 
 if __name__ == "__main__":

@@ -3,7 +3,7 @@ the results (VERDICT r2 item 5: 'it should fit now' is not a number).
 
 Each config is bench.bench_config / the headline loop called in-process so
 compiled programs and the persistent cache are shared; results land in
-BENCH_configs_r3.json with per-config wall time.
+BENCH_configs_r4.json with per-config wall time.
 
 Usage: python scripts/run_bench_all.py [--configs 0,1,2,3,4,5]
 (0 = headline)
@@ -24,7 +24,7 @@ import bench  # noqa: E402  (enables the compilation cache on import)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=str, default="0,1,2,3,4,5")
-    ap.add_argument("--out", type=str, default="/root/repo/BENCH_configs_r3.json")
+    ap.add_argument("--out", type=str, default="/root/repo/BENCH_configs_r4.json")
     args = ap.parse_args()
 
     import jax
@@ -34,19 +34,8 @@ def main():
         t0 = time.time()
         try:
             if c == 0:
-                pairs = None
-                for batch, impl in ((32, "pallas"), (32, "xla")):
-                    try:
-                        pairs = bench.bench_train_step(batch, block_impl=impl)
-                        break
-                    except Exception as e:
-                        bench.log(f"headline {impl} failed: {e}")
-                r = {
-                    "metric": "nemar_train_pairs_per_sec_per_chip_256",
-                    "value": round(pairs or 0.0, 2), "unit": "pairs/s/chip",
-                    "vs_baseline": round((pairs or 0.0)
-                                         / bench.A100_REF_PAIRS_PER_SEC, 3),
-                }
+                # the SAME ladder bench.py main uses (b48 pallas head)
+                r = bench.headline()
             else:
                 r = bench.bench_config(c)
         except Exception as e:
