@@ -172,7 +172,7 @@ class ResnetGenerator(nn.Module):
         # s2d blocking (13.9 vs 19.3 ms isolated); the HEAD is a wash under
         # s2d but wins with the FLOP-preserving (7x1)∘(1x7) factorization
         # (ops/conv_fact.py). 'auto' picks the best known per conv.
-        use_s2d = (self.c7_impl in ("s2d", "auto", "factg")
+        use_s2d = (self.c7_impl in ("s2d", "auto", "factg", "roll")
                    and conv7_s2d_supported(x.shape))
         head_impl = {"auto": "fact"}.get(self.c7_impl, self.c7_impl)
         # Explicit names pin the auto-naming layout (Conv_0..Conv_3) so the
@@ -238,7 +238,22 @@ class ResnetGenerator(nn.Module):
                 )(h)
                 h = _norm_act(h, self.norm, "relu", self.norm_impl)
         head_name = f"Conv_{1 + self.n_downsampling}"
-        if (head_impl in ("s2d", "fact", "factg")
+        from nemar_tpu.ops.conv_head_roll import (
+            conv_head_roll, head_roll_supported,
+        )
+
+        if (head_impl == "roll"
+                and head_roll_supported(h.shape, self.output_nc)):
+            # Roll-based Pallas head (ops/conv_head_roll.py): one dot per
+            # dx streaming the input ONCE, dx as f32 lane rolls, dy
+            # folded into M — 29M streamed values/image vs fact's 60M
+            # (probe r4a ladder). Measured r4e: a TIE with fact (b48
+            # fwd+bwd 15.95 vs 15.93 ms) — 'auto' keeps fact; this stays
+            # a selectable option (verdict in the kernel docstring).
+            ph = self._c7_params(head_name, h.shape[-1], self.output_nc)
+            h = (conv_head_roll(h, ph["kernel"].astype(h.dtype))
+                 + ph["bias"].astype(h.dtype))
+        elif (head_impl in ("s2d", "fact", "factg")
                 and conv7_s2d_supported(h.shape)):
             from nemar_tpu.ops.conv_fact import conv7_fact, conv7_fact_g
 

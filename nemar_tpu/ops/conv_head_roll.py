@@ -16,10 +16,17 @@ sub-slices each paid a full relayout copy):
   * XLA wrapper: rows reflect-padded, channel-major, flattened to
     (Ci, L0=(H+6)·W); per-sample grid.
   * dx shifts are pltpu.roll on the lane axis — a vector permute, NOT a
-    relayout copy (the v3 killer). xd[i] = flat[i + (dx-3)].
-  * ONE dot per dx: Y = Wdx(21, Ci) @ xd(Ci, L0) with the 7 dy-taps
+    relayout copy (the v3 killer).
+  * ONE dot per dx: Y' = Wdx(21, Ci) @ flat(Ci, L0) with the 7 dy-taps
     folded into M=21 rows (free by the ladder); the dy-collapse is 49
     ALIGNED value slices (dy·W ≡ 0 mod 128) added on the VPU.
+  * Mosaic constraint (probe r4e, round 4): tpu.dynamic_rotate is only
+    implemented for 32-bit data — rolling the bf16 input is NOT
+    lowerable. All rolls therefore ride the f32 PRODUCTS instead, which
+    is algebraically identical and strictly cheaper (the rolled tensor
+    is (21, L0) f32, 3x smaller than (Ci, L0)):
+        Wdx @ roll(flat, -s)  ==  roll(Wdx @ flat, -s)
+        Gsh @ roll(flat,-s)^T ==  roll(Gsh, +s) @ flat^T
   * Borders: column taps wrap through row ends and the array ends; the
     wrapper recomputes the 3 columns each side with the direct XLA conv
     (exactly conv_head v3's strip scheme — gradients route through the
@@ -27,11 +34,24 @@ sub-slices each paid a full relayout copy):
 
 Backward (custom VJP, same streaming discipline):
     Gsh(21, L0): 7 aligned row-shifted copies of g (scratch ref stores)
-    dW_dx(21,Ci) = Gsh @ xd^T          one big-K dot per dx
+    dW_dx(21,Ci) = roll(Gsh, +(dx-3)) @ flat^T   one big-K dot per dx
     dX          = Σ_dx roll(Wdx^T @ Gsh, +(dx-3))
 
 Parity: tests/test_conv_head_roll.py (interpret mode, fwd+grads vs the
 direct lowering).
+
+MEASURED VERDICT (probe r4e, one TPU window, production shapes, bf16):
+    b32: roll fwd 5.31 / fwd+bwd 11.50 ms  vs  fact 5.14 / 11.75
+    b48: roll fwd 6.97 / fwd+bwd 15.95 ms  vs  fact 5.62 / 15.93
+A TIE — the streamed-volume ladder predicted ~2x but the head turns out
+utilization-bound, not stream-bound, once relayouts are gone: the
+per-dx dot is M=21/K=64 (1/6 of MXU rows, half its lanes) and the f32
+product rolls + 49 VPU collapse adds replace fact's second conv pass at
+the same cost. `--c7_impl auto` therefore KEEPS the fact head; 'roll'
+ships as a tested, selectable option (this file stays out of ops/attic
+because it is the only head form whose X-stream is minimal — a future
+Mosaic with bf16 dynamic_rotate or multi-row dot packing would change
+the verdict).
 """
 
 from __future__ import annotations
@@ -67,17 +87,20 @@ def _fwd_kernel(x_ref, w_ref, out_ref, *, ci, co, h, w):
     acc = jnp.zeros((co, hw), jnp.float32)
     for dx in range(K7):
         s = dx - PAD
-        xd = pltpu.roll(flat, (-s) % l0, 1) if s else flat
         wdx = w_ref[dx]  # (21, ci), rows (dy, co) dy-major
+        # Wdx @ roll(flat, -s) == roll(Wdx @ flat, -s); roll the f32
+        # product — bf16 rotate is not lowerable (r4e).
         y = jax.lax.dot_general(
-            wdx, xd, (((1,), (0,)), ((), ())),
+            wdx, flat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if s:
+            y = pltpu.roll(y, (-s) % l0, 1)
         for dy in range(K7):
             acc = acc + y[dy * co:(dy + 1) * co, dy * w:dy * w + hw]
     out_ref[0] = acc.astype(out_ref.dtype)
 
 
-def _bwd_kernel(x_ref, g_ref, w_ref, dw_ref, dx_ref, gsh_ref,
+def _bwd_kernel(x_ref, g_ref, w_ref, dw_ref, dx_ref, gsh_ref, dacc_ref,
                 *, ci, co, h, w):
     i = pl.program_id(0)
     hw = h * w
@@ -87,28 +110,37 @@ def _bwd_kernel(x_ref, g_ref, w_ref, dw_ref, dx_ref, gsh_ref,
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
+    # gsh holds bf16-exact copies of g — the f32 scratch is only for the
+    # aligned row-shifted stores; casting back to bf16 for the dots is
+    # EXACT, and bf16·bf16 products are exact in the f32 MXU accumulator,
+    # so nothing here loses precision vs an all-f32 formulation.
     g2 = g_ref[0].astype(jnp.float32)  # (co, hw)
     gsh_ref[...] = jnp.zeros_like(gsh_ref)
     for dy in range(K7):
         gsh_ref[dy * co:(dy + 1) * co, dy * w:dy * w + hw] = g2
-    gsh = gsh_ref[...]  # (21, L0) f32
 
-    flat = x_ref[0]
-    dflat = jnp.zeros((ci, l0), jnp.float32)
+    flat = x_ref[0]  # (ci, L0) bf16
+    # dX accumulates in a VMEM scratch ref: carrying the (ci, L0) f32
+    # running sum as an SSA value across the unrolled dx loop made the
+    # register allocator spill ~117M (r4e OOM at 156M/128M vmem).
+    dacc_ref[...] = jnp.zeros_like(dacc_ref)
     for dx in range(K7):
         s = dx - PAD
-        xd = pltpu.roll(flat, (-s) % l0, 1) if s else flat
-        # dW_dx = Gsh @ xd^T  (contract positions)
+        # dW_dx = Gsh @ roll(flat,-s)^T == roll(Gsh,+s) @ flat^T — roll
+        # the f32 gsh; bf16 rotate is not lowerable (r4e).
+        gsh_s = (pltpu.roll(gsh_ref[...], s % l0, 1) if s
+                 else gsh_ref[...])
+        gsh_b = gsh_s.astype(flat.dtype)
         dw_ref[dx] += jax.lax.dot_general(
-            gsh, xd.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            gsh_b, flat, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        # dX contribution: (Wdx^T @ Gsh) rolled back by +s
-        wdx = w_ref[dx].astype(jnp.float32)
-        p = jax.lax.dot_general(
-            wdx, gsh, (((0,), (0,)), ((), ())),
+        # dX contribution: roll(Wdx^T @ Gsh, +s) — but the roll commutes
+        # through the un-contracted lane axis, so Wdx^T @ gsh_s IS the
+        # rolled product already (no 17M f32 roll needed).
+        dacc_ref[...] += jax.lax.dot_general(
+            w_ref[dx], gsh_b, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # (ci, L0)
-        dflat = dflat + (pltpu.roll(p, s % l0, 1) if s else p)
-    dx_ref[0] = dflat.astype(dx_ref.dtype)
+    dx_ref[0] = dacc_ref[...].astype(dx_ref.dtype)
 
 
 def _make_core(h, w):
@@ -162,6 +194,7 @@ def _make_core(h, w):
             ],
             scratch_shapes=[
                 pltpu.VMEM((K7 * co, (h + 2 * PAD) * w), jnp.float32),
+                pltpu.VMEM((ci, (h + 2 * PAD) * w), jnp.float32),
             ],
             compiler_params=_PARAMS,
             interpret=_interpret(),

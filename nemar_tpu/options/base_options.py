@@ -108,12 +108,15 @@ class BaseOptions:
                                  "slower than XLA's lowering — kept for "
                                  "future tuning)")
         parser.add_argument("--c7_impl", type=str, default="xla",
-                            choices=["xla", "s2d", "fact", "factg", "auto"],
+                            choices=["xla", "s2d", "fact", "factg", "auto",
+                                     "roll"],
                             help="ResnetGenerator c7s1 convs: 's2d' = EXACT "
                                  "space-to-depth(4) blocked rewrite "
                                  "(ops/conv_s2d.py); 'fact' = EXACT "
                                  "(7x1)∘(1x7) head factorization "
                                  "(ops/conv_fact.py, FLOP-preserving); "
+                                 "'roll' = s2d encoder + roll-based Pallas "
+                                 "head kernel (ops/conv_head_roll.py); "
                                  "'auto' = best measured per conv (s2d "
                                  "encoder + fact head). All fall back to the "
                                  "direct lowering when H or W %% 4 != 0")

@@ -65,6 +65,7 @@ def _kernel(img_ref, gx_ref, gy_ref, out_ref, *, c, h, w):
     aym = (jnp.where(is_ == ys, 1.0 - ay, 0.0)
            + jnp.where(is_ == ys + 1, ay, 0.0)).astype(jnp.float32)
 
+    rows = []
     for ci in range(c):
         slab = img_ref[0, ci, pl.ds(row0, S), :]       # (S, W)
         xrep = pltpu.repeat(slab, R, axis=1)           # (S, P): p -> p mod W
@@ -74,8 +75,8 @@ def _kernel(img_ref, gx_ref, gy_ref, out_ref, *, c, h, w):
                      + jnp.where(dxi == k - 1, ax, 0.0))
             rolled = pltpu.roll(xrep, -k % p, 1)
             xs = xs + coeff.astype(jnp.float32) * rolled.astype(jnp.float32)
-        out_ref[0, ci] = jnp.sum(aym * xs, axis=0,
-                                 keepdims=True).astype(out_ref.dtype)
+        rows.append(jnp.sum(aym * xs, axis=0, keepdims=True))
+    out_ref[0, 0] = jnp.concatenate(rows, axis=0).astype(out_ref.dtype)
 
 
 def warp_shift(img, gx, gy):
@@ -96,14 +97,18 @@ def warp_shift(img, gx, gy):
             pl.BlockSpec((1, 1, 1, p), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, c, 1, p), lambda i, j: (i, 0, j, 0),
+        # out laid out (n, t, c, p): the block's last two dims are then
+        # exactly (c, p) — the (1, c, 1, p) block violated Mosaic's
+        # 8/128 rule on the second-to-last dim (first r4c run)
+        out_specs=pl.BlockSpec((1, 1, c, p), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, c, t, p), img.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, t, c, p), img.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(img, gx2, gy2)
-    return out.reshape(n, c, h, w)
+    return out.reshape(n, t, c, R, w).transpose(0, 2, 1, 3, 4).reshape(
+        n, c, h, w)
 
 
 def reference(img, gx, gy):

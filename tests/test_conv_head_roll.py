@@ -53,3 +53,22 @@ def test_unsupported_shapes_fall_back():
     got = np.asarray(conv_head_roll(x, wk))  # W % 128 != 0 -> direct
     want = np.asarray(_direct(x, wk))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_resnet_generator_roll_equivalence():
+    """--c7_impl roll swaps freely with xla on the same param tree.
+
+    Input sized so the head map is (8, 128) — the kernel path, not the
+    fallback (head_roll_supported needs W % 128 == 0 after the two
+    stride-2 downsamplings).
+    """
+    from nemar_tpu.models.networks import ResnetGenerator
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 32, 512, 3)), jnp.float32)
+    g_x = ResnetGenerator(3, 8, 2, 2, "instance", c7_impl="xla")
+    g_r = ResnetGenerator(3, 8, 2, 2, "instance", c7_impl="roll")
+    p = g_x.init(jax.random.key(0), x)
+    np.testing.assert_allclose(
+        np.asarray(g_r.apply(p, x)), np.asarray(g_x.apply(p, x)),
+        rtol=5e-5, atol=5e-5)

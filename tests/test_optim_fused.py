@@ -1,9 +1,10 @@
-"""Flat (single-vector) Adam parity (models/optim.py make_adam fused=True).
+"""Flat (bucketed-vector) Adam parity (models/optim.py make_adam fused=True).
 
-The fused path ravels the gradient tree, runs scale_by_adam on ONE flat
-vector, and unravels the update — elementwise math is identical to the
+The fused path ravels the gradient tree into a handful of flat buckets
+(round 4: <= bucket_elems each, tree order), runs scale_by_adam per
+bucket, and unravels the update — elementwise math is identical to the
 per-leaf transform, so the resulting updates must agree to f32 roundoff
-step after step.
+step after step, for ANY bucket size.
 """
 
 import jax
@@ -52,8 +53,34 @@ def test_fused_adam_state_is_flat():
     tx = make_adam(0.9, fused=True)
     state = tx.init(params)
     n = sum(int(np.prod(v.shape)) for v in jax.tree.leaves(params))
-    assert state.mu.shape == (n,)
-    assert state.nu.shape == (n,)
+    # One bucket at the default bucket_elems: a 1-tuple of flat states.
+    assert isinstance(state, tuple) and len(state) == 1
+    assert state[0].mu.shape == (n,)
+    assert state[0].nu.shape == (n,)
+
+
+def test_fused_adam_bucketed_matches_per_leaf():
+    """Tiny bucket_elems forces multiple buckets; math must not change."""
+    params = _tree(jax.random.key(2))
+    tx_ref = make_adam(0.5)
+    tx_fused = make_adam(0.5, fused=True, bucket_elems=64)
+    s_ref = tx_ref.init(params)
+    s_fused = tx_fused.init(params)
+    assert len(s_fused) > 1  # the point of the test
+    p_ref = params
+    p_fused = params
+    for i in range(3):
+        grads = jax.tree.map(
+            lambda v: jnp.cos(v + i).astype(v.dtype), p_ref)
+        u_ref, s_ref = tx_ref.update(grads, s_ref, p_ref)
+        p_ref = apply_updates(p_ref, u_ref, 1e-3)
+        grads_f = jax.tree.map(
+            lambda v: jnp.cos(v + i).astype(v.dtype), p_fused)
+        u_fused, s_fused = tx_fused.update(grads_f, s_fused, p_fused)
+        p_fused = apply_updates(p_fused, u_fused, 1e-3)
+    for a, bv in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_fused)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bv),
+                                   atol=1e-6, rtol=1e-6)
 
 
 def test_opt_fused_flag_trains():
