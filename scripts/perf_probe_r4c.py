@@ -50,8 +50,12 @@ def _interpret():
 def _kernel(img_ref, gx_ref, gy_ref, out_ref, *, c, h, w):
     t = pl.program_id(1)
     p = R * w
-    # slab rows [8t-8, 8t+16) clamped into [0, h-S]; 8-aligned
-    row0 = jnp.clip(R * t - B, 0, h - S)
+    # slab rows [8t-8, 8t+16) clamped into [0, h-S]. Mosaic's divisibility
+    # prover can't see through clip(8t-8, 0, h-S) (first TPU run failed on
+    # "index in dimension 2 is a multiple of 8"); factor the 8 OUT of the
+    # clip so the index is literally 8*x. Requires B % R == 0 and S, h
+    # multiples of R (all true: B=R=8, S=24).
+    row0 = R * jnp.clip(t - B // R, 0, (h - S) // R)
     gx = gx_ref[0, 0]         # (1, P) absolute source x (pixels)
     gy = gy_ref[0, 0]
     ix = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1) & (w - 1)  # p mod W
