@@ -55,7 +55,10 @@ def _kernel(img_ref, gx_ref, gy_ref, out_ref, *, c, h, w):
     # "index in dimension 2 is a multiple of 8"); factor the 8 OUT of the
     # clip so the index is literally 8*x. Requires B % R == 0 and S, h
     # multiples of R (all true: B=R=8, S=24).
-    row0 = R * jnp.clip(t - B // R, 0, (h - S) // R)
+    # pl.multiple_of asserts the alignment the prover can't derive through
+    # the clip (second TPU run still failed with the factored form at
+    # h=256: the mul-of-8 canonicalizes away before the divisibility check)
+    row0 = pl.multiple_of(R * jnp.clip(t - B // R, 0, (h - S) // R), R)
     gx = gx_ref[0, 0]         # (1, P) absolute source x (pixels)
     gy = gy_ref[0, 0]
     ix = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1) & (w - 1)  # p mod W
