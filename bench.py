@@ -69,7 +69,8 @@ def _stdout_to_stderr():
 
 
 def build_model(batch_size: int, block_impl: str = "xla",
-                c7_impl: str = "auto", opt_fused: bool = False):
+                c7_impl: str = "auto", opt_fused: bool = False,
+                opt_split: bool = False):
     from nemar_tpu.models import create_model
     from nemar_tpu.options import TrainOptions
 
@@ -81,7 +82,8 @@ def build_model(batch_size: int, block_impl: str = "xla",
         "--netG", "resnet_6blocks", "--stn_type", "unet",
         "--gan_mode", "lsgan", "--pool_size", "0",
         "--bf16", "--block_impl", block_impl, "--c7_impl", c7_impl,
-    ] + (["--opt_fused"] if opt_fused else [])
+    ] + (["--opt_fused"] if opt_fused else []) + (
+        ["--opt_split"] if opt_split else [])
     with _stdout_to_stderr():
         opt = TrainOptions().parse(args)
         model = create_model(opt)
@@ -91,7 +93,7 @@ def build_model(batch_size: int, block_impl: str = "xla",
 
 def bench_train_step(batch_size: int, steps: int = 32, trials: int = 5,
                      block_impl: str = "xla", c7_impl: str = "auto",
-                     opt_fused: bool = False):
+                     opt_fused: bool = False, opt_split: bool = False):
     """Headline step. c7_impl 'auto' routes the generator's c7s1 convs
     through the exact MXU-lane rewrites (s2d encoder + factorized head,
     probes r3g-r3k: -18 ms on the b32 step); the caller ladders down on
@@ -99,7 +101,8 @@ def bench_train_step(batch_size: int, steps: int = 32, trials: int = 5,
     ~47 ms round-trip to ~1.5 ms/step (16-step chains carried ~3)."""
     import jax
 
-    model, opt = build_model(batch_size, block_impl, c7_impl, opt_fused)
+    model, opt = build_model(batch_size, block_impl, c7_impl, opt_fused,
+                             opt_split)
     rng = np.random.default_rng(0)
     batch = {
         "A": rng.standard_normal((batch_size, 256, 256, opt.input_nc), dtype=np.float32),
@@ -137,7 +140,14 @@ def bench_train_step(batch_size: int, steps: int = 32, trials: int = 5,
     # exact program a production run uses. Falls back to per-step
     # dispatches if the scan program can't compile at this batch.
     scan_k = 8
+    if opt_split:
+        # the split two-program step has no scan form (a scan body cannot
+        # span programs); measure it on per-step dispatches
+        log("opt_split: per-step dispatch (no scan form)")
+        scan_k = 0
     try:
+        if scan_k == 0:
+            raise RuntimeError("opt_split")
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P
 

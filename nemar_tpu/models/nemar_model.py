@@ -234,10 +234,18 @@ class NEMARModel(BaseModel):
         stn_beta1 = getattr(opt, "stn_beta1", None)
         from nemar_tpu.models.optim import make_adam
 
-        fused_opt = getattr(opt, "opt_fused", False)
+        self.opt_split = getattr(opt, "opt_split", False)
+        fused_opt = getattr(opt, "opt_fused", False) or self.opt_split
         self.tx = make_adam(beta1, fused=fused_opt)
         self.tx_R = make_adam(
             beta1 if stn_beta1 is None else stn_beta1, fused=fused_opt)
+        if self.opt_split:
+            if getattr(opt, "steps_per_execution", 1) > 1:
+                raise ValueError("--opt_split is per-step (two programs); "
+                                 "incompatible with --steps_per_execution > 1")
+            if getattr(opt, "grad_accum", 1) > 1:
+                raise ValueError("--opt_split is incompatible with "
+                                 "--grad_accum > 1")
         base_lr = getattr(opt, "lr", 2e-4)
         stn_lr = getattr(opt, "stn_lr", None)
         self.stn_lr_ratio = 1.0 if stn_lr is None else stn_lr / base_lr
@@ -277,6 +285,17 @@ class NEMARModel(BaseModel):
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
         self._train_scan = jax.jit(self._train_scan_impl, donate_argnums=(0,))
         self._forward_jit = jax.jit(self._forward_all)
+        if self.opt_split:
+            # program A: forward + D update + G/R grads (split=True is a
+            # trace-time constant, hence the lambda rather than static args)
+            self._train_grads = jax.jit(
+                lambda st, a, b, lr, gw, rg: self._train_step_impl(
+                    st, a, b, lr, gw, rg, split=True),
+                donate_argnums=(0,),
+            )
+            # program B: bucketed flat Adam for G/R + EMA
+            self._opt_apply = jax.jit(
+                self._opt_apply_impl, donate_argnums=(0, 1))
 
     # ------------------------------------------------------------------
     # state construction
@@ -520,7 +539,8 @@ class NEMARModel(BaseModel):
         )
         return total, (l_gan, l_recon, l_smooth)
 
-    def _train_step_impl(self, state: NemarState, a, b, lr, gan_w, r_gate):
+    def _train_step_impl(self, state: NemarState, a, b, lr, gan_w, r_gate,
+                         split=False):
         """One reference optimize_parameters() (SURVEY §4.2), one XLA program.
 
         The forward (2 G passes + STN + warps, ~76 GFLOP/pair of the step's
@@ -572,6 +592,19 @@ class NEMARModel(BaseModel):
         grads_G["R"] = jax.tree.map(
             lambda g: g * r_gate, self._clip_r(grads_G["R"])
         )
+        metrics_early = {
+            "D": loss_D, "D_real": l_dr, "D_fake": l_df,
+            "G_GAN": l_gan, "G_recon": l_rec, "G_smooth": l_sm, "G": loss_G,
+        }
+        if split:
+            # --opt_split program A ends here: hand the G/R grads to the
+            # separately-jitted Adam program (_opt_apply_impl). D's update
+            # cannot move there — the G head loss above used the UPDATED D.
+            new_state = state.replace(
+                step=state.step + 1, params_D=params_D, opt_D=opt_D,
+                rng=rng, pool=new_pool,
+            )
+            return new_state, grads_G, metrics_early
         upd_GR, opt_gR = self.tx_R.update(grads_G["R"], state.opt_G["R"], pgr["R"])
         if self.freeze_g:
             opt_gG, params_G = state.opt_G["G"], pgr["G"]
@@ -597,11 +630,40 @@ class NEMARModel(BaseModel):
             params_G=params_G, params_D=params_D, params_R=params_R,
             opt_G=opt_G, opt_D=opt_D, rng=rng, pool=new_pool, ema=ema,
         )
-        metrics = {
-            "D": loss_D, "D_real": l_dr, "D_fake": l_df,
-            "G_GAN": l_gan, "G_recon": l_rec, "G_smooth": l_sm, "G": loss_G,
-        }
-        return new_state, metrics
+        return new_state, metrics_early
+
+    def _opt_apply_impl(self, state: NemarState, grads_G, lr):
+        """--opt_split program B: G/R flat-bucket Adam + apply + EMA.
+
+        Identical math to the tail of _train_step_impl (the R grads arrive
+        already clipped and gated). Compiled as its own program so the
+        remote compile helper never has to schedule the flat-Adam
+        concatenates inside the pallas-trunk step (probes r3q/r4d: that
+        combination reproducibly OOMs the helper).
+        """
+        pgr = {"G": state.params_G, "R": state.params_R}
+        upd_GR, opt_gR = self.tx_R.update(grads_G["R"], state.opt_G["R"], pgr["R"])
+        if self.freeze_g:
+            opt_gG, params_G = state.opt_G["G"], pgr["G"]
+        else:
+            upd_GG, opt_gG = self.tx.update(
+                grads_G["G"], state.opt_G["G"], pgr["G"]
+            )
+            params_G = self._apply_updates(pgr["G"], upd_GG, lr)
+        params_R = self._apply_updates(
+            pgr["R"], upd_GR, lr * self.stn_lr_ratio
+        )
+        ema = state.ema
+        if ema is not None:
+            d = self.ema_decay
+            ema = jax.tree.map(
+                lambda e, p: d * e + (1.0 - d) * p,
+                ema, {"G": params_G, "R": params_R},
+            )
+        return state.replace(
+            params_G=params_G, params_R=params_R,
+            opt_G={"G": opt_gG, "R": opt_gR}, ema=ema,
+        )
 
     def _train_step_accum(self, state: NemarState, a, b, lr, gan_w, r_gate):
         """Gradient-accumulated step: scan over --grad_accum microbatches.
@@ -755,10 +817,17 @@ class NEMARModel(BaseModel):
 
     def optimize_parameters(self):
         lr = self._lr_scalar()
-        self.state, metrics = self._train_step(
-            self.state, self.real_A, self.real_B, lr, self._gan_w_scalar(),
-            self._r_gate_scalar(),
-        )
+        if self.opt_split:
+            self.state, grads_G, metrics = self._train_grads(
+                self.state, self.real_A, self.real_B, lr,
+                self._gan_w_scalar(), self._r_gate_scalar(),
+            )
+            self.state = self._opt_apply(self.state, grads_G, lr)
+        else:
+            self.state, metrics = self._train_step(
+                self.state, self.real_A, self.real_B, lr,
+                self._gan_w_scalar(), self._r_gate_scalar(),
+            )
         self._losses = metrics
 
     def optimize_parameters_scan(self, batches: list):

@@ -61,6 +61,16 @@ class TrainOptions(BaseOptions):
                                  "launches — models/optim.py). Optimizer-"
                                  "state checkpoints are shape-incompatible "
                                  "across this flag")
+        parser.add_argument("--opt_split", action="store_true",
+                            help="compile the G/R Adam update as its OWN "
+                                 "jitted program (two dispatches per step) "
+                                 "with the flat-bucket math of --opt_fused. "
+                                 "Works around the compile-helper OOM that "
+                                 "kills --opt_fused inside the pallas-trunk "
+                                 "step program (probes r3q/r4d). Implies the "
+                                 "--opt_fused checkpoint layout; incompatible "
+                                 "with --steps_per_execution > 1 and "
+                                 "--grad_accum > 1")
         parser.add_argument("--lr", type=float, default=0.0002, help="initial adam learning rate")
         parser.add_argument("--gan_mode", type=str, default="lsgan",
                             help="GAN objective [vanilla | lsgan | wgangp]")

@@ -83,6 +83,73 @@ def test_fused_adam_bucketed_matches_per_leaf():
                                    atol=1e-6, rtol=1e-6)
 
 
+def _tiny_model(extra, name):
+    import tempfile
+
+    from nemar_tpu.models import create_model
+    from nemar_tpu.options import TrainOptions
+
+    d = tempfile.mkdtemp()
+    opt = TrainOptions().parse([
+        "--dataroot", "__synthetic__", "--dataset_mode", "synthetic",
+        "--model", "nemar", "--stn_type", "unet", "--name", name,
+        "--checkpoints_dir", d, "--crop_size", "32", "--load_size", "32",
+        "--synthetic_size", "8", "--batch_size", "2",
+        "--ngf", "8", "--ndf", "8", "--stn_ngf", "8", "--stn_depth", "3",
+    ] + extra)
+    model = create_model(opt)
+    model.setup(opt)
+    return model, opt
+
+
+def test_opt_split_matches_baseline():
+    """--opt_split (two programs: grads, then flat Adam) is the SAME math
+    as the single-program step.
+
+    The parity gate is ONE step (SURVEY §8.3.5: GAN training amplifies
+    roundoff — Adam's g/|g| normalization turns a 1e-11 program-boundary
+    reassociation into full-lr sign flips within 3 steps; measured here:
+    2.9e-11 after step 1, 4e-4 after step 3). Losses are additionally
+    tracked over 3 steps at a loose tolerance.
+    """
+    ref, opt = _tiny_model([], "split_ref")
+    split, _ = _tiny_model(["--opt_split"], "split_ab")
+    rng = np.random.default_rng(3)
+    for step in range(3):
+        batch = {
+            "A": rng.standard_normal((2, 32, 32, opt.input_nc),
+                                     dtype=np.float32),
+            "B": rng.standard_normal((2, 32, 32, opt.output_nc),
+                                     dtype=np.float32),
+            "A_paths": ["x", "y"],
+        }
+        ref.set_input(batch)
+        ref.optimize_parameters()
+        split.set_input(batch)
+        split.optimize_parameters()
+        if step == 0:
+            for net in ("params_G", "params_R", "params_D"):
+                for a, bv in zip(
+                        jax.tree.leaves(getattr(ref.state, net)),
+                        jax.tree.leaves(getattr(split.state, net))):
+                    np.testing.assert_allclose(
+                        np.asarray(a), np.asarray(bv), atol=1e-8,
+                        err_msg=net)
+        lr, ls = ref.get_current_losses(), split.get_current_losses()
+        for k in lr:
+            np.testing.assert_allclose(lr[k], ls[k], atol=1e-3, rtol=1e-3,
+                                       err_msg=f"step {step} loss {k}")
+
+
+def test_opt_split_rejects_scan_and_accum():
+    import pytest
+
+    with pytest.raises(ValueError):
+        _tiny_model(["--opt_split", "--steps_per_execution", "4"], "sx")
+    with pytest.raises(ValueError):
+        _tiny_model(["--opt_split", "--grad_accum", "2"], "sy")
+
+
 def test_opt_fused_flag_trains():
     """One jitted nemar step under --opt_fused runs and updates params."""
     import os
