@@ -332,7 +332,7 @@ def _mm_core(
 
 @functools.partial(
     jax.jit, static_argnames=("mode", "padding_mode", "align_corners", "impl",
-                              "grad_channels")
+                              "grad_channels", "shift_bound")
 )
 def grid_sample(
     img: jax.Array,
@@ -342,6 +342,7 @@ def grid_sample(
     align_corners: bool = False,
     impl: str = "auto",
     grad_channels: int = -1,
+    shift_bound: int = 8,
 ) -> jax.Array:
     """Sample `img` (N, H, W, C) at `grid` (N, Ho, Wo, 2) locations.
 
@@ -352,6 +353,10 @@ def grid_sample(
                XLA lowers gather to a serial loop there),
       'mm'     one-hot matmul formulation (MXU; exact; fast on TPU),
       'pallas' Pallas TPU kernel,
+      'shift'  Pallas kernel with the shift-gather forward armed (probe
+               r4c: 2.38x fwd when every displacement fits `shift_bound`
+               px — checked dynamically; falls back to the one-hot kernel,
+               then mm, so results are exact for ANY grid),
       'auto'   pallas/mm on TPU, gather on CPU.
     """
     # Sampling coordinates must never round through bf16 (1 px of error at
@@ -363,12 +368,17 @@ def grid_sample(
             impl = "pallas" if _pallas_available() else "mm"
         else:
             impl = "xla"
+    if impl == "shift":
+        impl = "pallas"
+    else:
+        shift_bound = 0
     if impl == "pallas":
         from nemar_tpu.ops import warp_pallas
 
         return warp_pallas.grid_sample_pallas(
             img, grid, mode=mode, padding_mode=padding_mode,
             align_corners=align_corners, grad_channels=grad_channels,
+            shift_bound=shift_bound,
         )
     if impl == "mm":
         return _grid_sample_mm(img, grid, mode, padding_mode, align_corners)
