@@ -260,6 +260,11 @@ def bench_config(n: int):
         gridP = affine_grid(thetaP, (bsz, ch, 256, 256))
         fwd = jax.jit(lambda i, g: grid_sample(i, g, impl="pallas"))
         dt_f = _timeit(fwd, (imgP, gridP), label="pallas warp fwd b32x3 256²")
+        # shift-gather forward (probe r4c adoption): config #1's affine
+        # field is <= ~6.4 px, inside the 8-px bound, so the roll path
+        # engages; the dynamic cond keeps it exact for any input
+        fwd_sh = jax.jit(lambda i, g: grid_sample(i, g, impl="shift"))
+        dt_sh = _timeit(fwd_sh, (imgP, gridP), label="shift warp fwd b32x3 256²")
 
         def loss(i, g):
             return jnp.mean(jnp.abs(grid_sample(i, g, impl="pallas")))
@@ -274,14 +279,18 @@ def bench_config(n: int):
         fwd_bytes = px * (ch * 4 + 2 * 4 + ch * 4)
         # fwd+bwd adds: read g(out-shaped), write dimg + dgrid; re-read img+grid
         fb_bytes = fwd_bytes + px * (ch * 4 + ch * 4 + 2 * 4 + ch * 4 + 2 * 4)
-        gbs_prod = fwd_bytes / dt_f / 1e9
+        dt_best = min(dt_f, dt_sh)
+        gbs_prod = fwd_bytes / dt_best / 1e9
         gbs_fb = fb_bytes / dt_fb / 1e9
-        log(f"pallas fwd {gbs_prod:.1f} GB/s, fwd+bwd {gbs_fb:.1f} GB/s, "
-            f"mm/pallas fwd ratio {dt_mm / dt_f:.2f}x")
+        log(f"pallas fwd {fwd_bytes / dt_f / 1e9:.1f} GB/s, shift fwd "
+            f"{fwd_bytes / dt_sh / 1e9:.1f} GB/s, fwd+bwd {gbs_fb:.1f} GB/s, "
+            f"mm/best fwd ratio {dt_mm / dt_best:.2f}x")
         return {"metric": "grid_sample_warp_GBps_b32_256",
                 "value": round(gbs_prod, 2), "unit": "GB/s",
-                "vs_baseline": round(dt_mm / dt_f, 2),
+                "vs_baseline": round(dt_mm / dt_best, 2),
                 "fwd_bwd_GBps": round(gbs_fb, 2),
+                "onehot_fwd_GBps": round(fwd_bytes / dt_f / 1e9, 2),
+                "shift_fwd_GBps": round(fwd_bytes / dt_sh / 1e9, 2),
                 "affine_b1_GBps": round(
                     (256 * 256 * (1 * 4 * 2 + 2 * 4)) / dt / 1e9, 2)}
     if n == 2:
