@@ -70,7 +70,7 @@ def _stdout_to_stderr():
 
 def build_model(batch_size: int, block_impl: str = "xla",
                 c7_impl: str = "auto", opt_fused: bool = False,
-                opt_split: bool = False):
+                opt_split: bool = False, warp_impl: str = "auto"):
     from nemar_tpu.models import create_model
     from nemar_tpu.options import TrainOptions
 
@@ -82,6 +82,7 @@ def build_model(batch_size: int, block_impl: str = "xla",
         "--netG", "resnet_6blocks", "--stn_type", "unet",
         "--gan_mode", "lsgan", "--pool_size", "0",
         "--bf16", "--block_impl", block_impl, "--c7_impl", c7_impl,
+        "--warp_impl", warp_impl,
     ] + (["--opt_fused"] if opt_fused else []) + (
         ["--opt_split"] if opt_split else [])
     with _stdout_to_stderr():
@@ -93,7 +94,8 @@ def build_model(batch_size: int, block_impl: str = "xla",
 
 def bench_train_step(batch_size: int, steps: int = 32, trials: int = 5,
                      block_impl: str = "xla", c7_impl: str = "auto",
-                     opt_fused: bool = False, opt_split: bool = False):
+                     opt_fused: bool = False, opt_split: bool = False,
+                     warp_impl: str = "auto"):
     """Headline step. c7_impl 'auto' routes the generator's c7s1 convs
     through the exact MXU-lane rewrites (s2d encoder + factorized head,
     probes r3g-r3k: -18 ms on the b32 step); the caller ladders down on
@@ -102,7 +104,7 @@ def bench_train_step(batch_size: int, steps: int = 32, trials: int = 5,
     import jax
 
     model, opt = build_model(batch_size, block_impl, c7_impl, opt_fused,
-                             opt_split)
+                             opt_split, warp_impl)
     rng = np.random.default_rng(0)
     batch = {
         "A": rng.standard_normal((batch_size, 256, 256, opt.input_nc), dtype=np.float32),

@@ -94,7 +94,10 @@ class BaseOptions:
                             help="rematerialize generator blocks (trade FLOPs for "
                                  "HBM; enables 512^2 batch-32 on one chip)")
         parser.add_argument("--warp_impl", type=str, default="auto",
-                            help="grid_sample implementation [auto | xla | pallas]")
+                            help="grid_sample implementation [auto | xla | "
+                                 "pallas | mm | shift] ('shift' arms the "
+                                 "bounded-displacement roll forward, exact "
+                                 "fallback for any field)")
         parser.add_argument("--norm_impl", type=str, default="xla",
                             help="instance-norm implementation [xla | pallas]")
         parser.add_argument("--block_impl", type=str, default="xla",
