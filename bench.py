@@ -40,10 +40,16 @@ def log(msg):
 A100_REF_PAIRS_PER_SEC = 30.0
 
 # Config-#2 denominator (round 4, VERDICT item 5): eager-torch UNet-STN
-# fwd+bwd (b1 256², L1+smooth) measured on this host's CPU and extrapolated
-# to A100 by the BASELINE.md sustained-GEMM chain
-# (`scripts/torch_baseline.py stn`). None -> vs_baseline omitted.
-A100_REF_STN_FWD_BWD_MS = None
+# fwd+bwd (b1 256², L1+smooth) measured on this host's CPU (486.8 ms) and
+# extrapolated to A100 by the BASELINE.md sustained-GEMM chain
+# (`scripts/torch_baseline.py stn`; JSON in docs/bench_r4_torch_stn.json).
+# NOTE this chain is very generous to the baseline at b1: it assumes the
+# A100 sustains 40 TFLOP/s on a batch-1 small-channel UNet, where eager
+# torch is in reality kernel-launch-bound (~60 convs x ~20 us). vs_baseline
+# < 1 here therefore reads "single-sample latency is not the TPU's regime",
+# not "slower than a measured A100" — throughput configs #0/#3/#4 carry the
+# throughput claim.
+A100_REF_STN_FWD_BWD_MS = 1.252
 
 # Config-#4 denominator: the 256² baseline (30 pairs/s, generous) scaled by
 # the exact per-pair FLOP ratio — the step is conv-dominated so FLOPs/pair
@@ -315,11 +321,10 @@ def bench_config(n: int):
         dt = _timeit(g, (params,), label="unet STN fwd+bwd 256²")
         out = {"metric": "unet_stn_fwd_bwd_ms_256", "value": round(dt * 1e3, 2),
                "unit": "ms"}
-        if A100_REF_STN_FWD_BWD_MS:
-            # ratio >1 = faster than the extrapolated A100 eager-torch STN
-            out["vs_baseline"] = round(A100_REF_STN_FWD_BWD_MS / (dt * 1e3), 3)
-        else:
-            out["vs_baseline"] = 1.0
+        # ratio >1 = faster than the extrapolated A100 eager-torch STN;
+        # see the A100_REF_STN_FWD_BWD_MS note on reading b1-latency ratios
+        out["vs_baseline"] = round(A100_REF_STN_FWD_BWD_MS / (dt * 1e3), 3)
+        out["cpu_torch_ms"] = 486.8
         return out
     if n == 3:
         pairs = bench_train_step(1, steps=20)
@@ -443,7 +448,10 @@ def headline():
     # pallas+opt_fused TOGETHER reliably SIGKILLs the compile helper
     # (r3q re-confirmed r3f's OOM on an otherwise idle helper; r3n's
     # success was without the flat-Adam program) — not in the ladder.
+    # b56 edges b48 same-window (probe r4g: 142.87 vs 142.52); b48 is the
+    # first fallback (b64 loses: 139.1, r4d).
     for batch, impl, c7, fused in (
+            (56, "pallas", "auto", False),
             (48, "pallas", "auto", False),
             (48, "xla", "auto", True), (48, "xla", "auto", False),
             (32, "xla", "auto", False), (32, "xla", "xla", False),
