@@ -25,6 +25,17 @@ Backward (custom VJP, two kernels to bound VMEM):
 with the reflect-pad adjoint folded explicitly (edge rows/cols scatter
 back into the interior, reverse of the fwd pad construction order).
 
+Backward slab layout (round 4, probe r4h): the backward's 18 dot slabs
+per stage are dx-PRESHIFTED through a (3, H+2, W, C) planes scratch so
+every slab is a free major-dim slice with a contiguous reshape — 3
+relayout copies per conv instead of 9 misaligned sub-slice loads. Same
+trick for the adjoint's zero-padded dz planes. Measured at the b48 trunk
+shape, same window: bwd 7.53 vs 9.27 ms (fwd+bwd 105.3 vs 94.2 TFLOPs),
+bit-exact. The FORWARD keeps direct slab slices — preshifting there LOSES
+slightly (5.97 vs 5.82 ms; Mosaic stages the fwd's misaligned loads well
+enough that 6 extra plane copies don't pay). NEMAR_FUSED_BWD=legacy
+selects the old backward for A/B probes.
+
 Eligibility: H,W multiples of 8 (sublane) with H*W multiple of the f32
 tile, C multiple of 128 (lane). Everything else should use the XLA path.
 """
@@ -32,6 +43,7 @@ tile, C multiple of 128 (lane). Everything else should use the XLA path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -40,6 +52,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TAPS = [(dy, dx) for dy in range(3) for dx in range(3)]
+
+# Probe r4h: preshifted-planes backward wins 19% (bit-exact); 'legacy'
+# keeps the original misaligned-slab backward for same-window A/Bs.
+_BWD_PLANES = os.environ.get("NEMAR_FUSED_BWD", "planes") != "legacy"
 
 
 def _interpret() -> bool:
@@ -205,6 +221,16 @@ def _conv_adjoint(dz3, w_ref, dzp_ref, dpad_ref, h, w, c):
     dpad_ref[...] = acc.reshape(h + 2, w + 2, c)
 
 
+def _fill_planes(pl_ref, pad_ref, w):
+    """pl_ref (3, H+2, W, C) <- the three dx-shifted w-wide windows of
+    pad_ref (H+2, W+2, C). Each store is ONE relayout copy; afterwards
+    every (dy, dx) slab is a free leading-dim slice whose (h*w, c)
+    reshape is contiguous (probe r4h: bwd 7.53 vs 9.27 ms at the b48
+    trunk shape)."""
+    for dx in range(3):
+        pl_ref[dx] = pad_ref[:, dx:dx + w, :]
+
+
 def _dw9(pad_ref, dz3, dw_ref, first, h, w, c):
     """dW[dy,dx] += slab^T @ dz (contract HW rows), batch-accumulated."""
     for dy, dx in _TAPS:
@@ -224,9 +250,51 @@ def _dw9(pad_ref, dz3, dw_ref, first, h, w, c):
             dw_ref[dy, dx] += d
 
 
+def _dw9_planes(pl_ref, dz3, dw_ref, first, h, w, c):
+    """_dw9 through the preshifted planes scratch."""
+    for dy, dx in _TAPS:
+        slab = pl_ref[dx, dy:dy + h].reshape(h * w, c)
+        d = jax.lax.dot_general(
+            slab, dz3,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(first)
+        def _():
+            dw_ref[dy, dx] = d
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dw_ref[dy, dx] += d
+
+
+def _conv_adjoint_planes(dz3, w_ref, dzp_ref, az_ref, dpad_ref, h, w, c):
+    """_conv_adjoint through 3 preshifted (w+2)-wide planes of the
+    zero-padded dz (az_ref: (3, H+4, W+2, C))."""
+    dzp_ref[...] = jnp.zeros_like(dzp_ref)
+    dzp_ref[2:h + 2, 2:w + 2, :] = dz3.reshape(h, w, c)
+    for k in range(3):
+        az_ref[k] = dzp_ref[:, 2 - k:4 - k + w, :]
+    acc = None
+    for dy, dx in _TAPS:
+        slab = az_ref[dx, 2 - dy:h + 4 - dy].reshape((h + 2) * (w + 2), c)
+        p = jax.lax.dot_general(
+            slab, w_ref[dy, dx],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = p if acc is None else acc + p
+    dpad_ref[...] = acc.reshape(h + 2, w + 2, c)
+
+
 def _bwd2_kernel(st_ref, x_ref, y1_ref, out_ref, g_ref, w2_ref,
-                 dw2_ref, dh1_ref, pad_ref, dpad_ref, dzp_ref, *, h, w, c):
+                 dw2_ref, dh1_ref, *scratch, h, w, c, planes):
     """Stage B2: through IN2 and conv2 -> (dW2, dh1)."""
+    if planes:
+        pad_ref, pl_ref, dpad_ref, dzp_ref, az_ref = scratch
+    else:
+        pad_ref, dpad_ref, dzp_ref = scratch
     i = pl.program_id(0)
     hw = float(h * w)
     g = g_ref[0].astype(jnp.float32).reshape(h * w, c)
@@ -234,22 +302,30 @@ def _bwd2_kernel(st_ref, x_ref, y1_ref, out_ref, g_ref, w2_ref,
              - x_ref[0].astype(jnp.float32)).reshape(h * w, c)
     rstd2 = st_ref[0, 3:4, :]
     # IN-bwd statistics in fp32; the conv-adjoint matmul operands drop to
-    # the compute dtype (see _scatter9) with fp32 accumulation.
+    # the compute dtype with fp32 accumulation.
     dz2 = _in_bwd(g, y2hat, rstd2, hw).astype(x_ref.dtype)
 
     # h1 = relu(y1hat); its padded form feeds both dW2 and nothing else
     h1 = jnp.maximum(y1_ref[0].astype(jnp.float32), 0.0).astype(x_ref.dtype)
     _fill_pad(pad_ref, h1, h, w)
-    _dw9(pad_ref, dz2, dw2_ref, i == 0, h, w, c)
-
-    _conv_adjoint(dz2, w2_ref, dzp_ref, dpad_ref, h, w, c)
+    if planes:
+        _fill_planes(pl_ref, pad_ref, w)
+        _dw9_planes(pl_ref, dz2, dw2_ref, i == 0, h, w, c)
+        _conv_adjoint_planes(dz2, w2_ref, dzp_ref, az_ref, dpad_ref, h, w, c)
+    else:
+        _dw9(pad_ref, dz2, dw2_ref, i == 0, h, w, c)
+        _conv_adjoint(dz2, w2_ref, dzp_ref, dpad_ref, h, w, c)
     dh1 = _pad_adjoint(dpad_ref, h, w)
     dh1_ref[0] = dh1.astype(dh1_ref.dtype)
 
 
 def _bwd1_kernel(st_ref, x_ref, y1_ref, g_ref, dh1_ref, w1_ref,
-                 dw1_ref, dx_ref, pad_ref, dpad_ref, dzp_ref, *, h, w, c):
+                 dw1_ref, dx_ref, *scratch, h, w, c, planes):
     """Stage B1: through relu, IN1, conv1 -> (dW1, dx = g + conv1-adjoint)."""
+    if planes:
+        pad_ref, pl_ref, dpad_ref, dzp_ref, az_ref = scratch
+    else:
+        pad_ref, dpad_ref, dzp_ref = scratch
     i = pl.program_id(0)
     hw = float(h * w)
     y1hat = y1_ref[0].astype(jnp.float32).reshape(h * w, c)
@@ -259,9 +335,13 @@ def _bwd1_kernel(st_ref, x_ref, y1_ref, g_ref, dh1_ref, w1_ref,
     dz1 = _in_bwd(gh, y1hat, rstd1, hw).astype(x_ref.dtype)
 
     _fill_pad(pad_ref, x_ref[0], h, w)
-    _dw9(pad_ref, dz1, dw1_ref, i == 0, h, w, c)
-
-    _conv_adjoint(dz1, w1_ref, dzp_ref, dpad_ref, h, w, c)
+    if planes:
+        _fill_planes(pl_ref, pad_ref, w)
+        _dw9_planes(pl_ref, dz1, dw1_ref, i == 0, h, w, c)
+        _conv_adjoint_planes(dz1, w1_ref, dzp_ref, az_ref, dpad_ref, h, w, c)
+    else:
+        _dw9(pad_ref, dz1, dw1_ref, i == 0, h, w, c)
+        _conv_adjoint(dz1, w1_ref, dzp_ref, dpad_ref, h, w, c)
     dx_conv = _pad_adjoint(dpad_ref, h, w)
     dx_ref[0] = (g_ref[0].astype(jnp.float32) + dx_conv).astype(dx_ref.dtype)
 
@@ -269,9 +349,10 @@ def _bwd1_kernel(st_ref, x_ref, y1_ref, g_ref, dh1_ref, w1_ref,
 def _bwd_pallas(x, y1, st, out, g, w1, w2):
     n, h, w_, c = x.shape
     cdt = x.dtype
+    planes = _BWD_PLANES
     common = dict(
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )
@@ -284,9 +365,14 @@ def _bwd_pallas(x, y1, st, out, g, w1, w2):
     pad = pltpu.VMEM((h + 2, w_ + 2, c), cdt)
     dpad = pltpu.VMEM((h + 2, w_ + 2, c), jnp.float32)
     dzp = pltpu.VMEM((h + 4, w_ + 4, c), cdt)
+    if planes:
+        scratches = [pad, pltpu.VMEM((3, h + 2, w_, c), cdt), dpad, dzp,
+                     pltpu.VMEM((3, h + 4, w_ + 2, c), cdt)]
+    else:
+        scratches = [pad, dpad, dzp]
 
     dw2, dh1 = pl.pallas_call(
-        functools.partial(_bwd2_kernel, h=h, w=w_, c=c),
+        functools.partial(_bwd2_kernel, h=h, w=w_, c=c, planes=planes),
         grid=(n,),
         in_specs=[st_spec, b_spec, b_spec, b_spec, b_spec, w_spec],
         out_specs=[w_spec, b_spec],
@@ -294,12 +380,12 @@ def _bwd_pallas(x, y1, st, out, g, w1, w2):
             jax.ShapeDtypeStruct((3, 3, c, c), jnp.float32),
             jax.ShapeDtypeStruct((n, h, w_, c), cdt),
         ],
-        scratch_shapes=[pad, dpad, dzp],
+        scratch_shapes=list(scratches),
         **common,
     )(st, x, y1, out, g, w2)
 
     dw1, dx = pl.pallas_call(
-        functools.partial(_bwd1_kernel, h=h, w=w_, c=c),
+        functools.partial(_bwd1_kernel, h=h, w=w_, c=c, planes=planes),
         grid=(n,),
         in_specs=[st_spec, b_spec, b_spec, b_spec, b_spec, w_spec],
         out_specs=[w_spec, b_spec],
@@ -307,7 +393,7 @@ def _bwd_pallas(x, y1, st, out, g, w1, w2):
             jax.ShapeDtypeStruct((3, 3, c, c), jnp.float32),
             jax.ShapeDtypeStruct((n, h, w_, c), cdt),
         ],
-        scratch_shapes=[pad, dpad, dzp],
+        scratch_shapes=list(scratches),
         **common,
     )(st, x, y1, g, dh1, w1)
 
