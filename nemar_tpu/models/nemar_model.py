@@ -282,8 +282,15 @@ class NEMARModel(BaseModel):
             self.save_names += ["G_ema", "R_ema"]
 
         self._build_state()
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
-        self._train_scan = jax.jit(self._train_scan_impl, donate_argnums=(0,))
+        # $NEMAR_XLA_OPTS rides the PJRT CompileOptions proto into the
+        # relay's (env-cleared) compile helper — the only way to reach TPU
+        # backend knobs here; XLA_FLAGS never arrives (utils/xla_opts.py).
+        from nemar_tpu.utils.xla_opts import env_compiler_options
+        co = env_compiler_options()
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,),
+                                   compiler_options=co)
+        self._train_scan = jax.jit(self._train_scan_impl, donate_argnums=(0,),
+                                   compiler_options=co)
         self._forward_jit = jax.jit(self._forward_all)
         if self.opt_split:
             # program A: forward + D update + G/R grads (split=True is a

@@ -58,6 +58,17 @@ _TAPS = [(dy, dx) for dy in range(3) for dx in range(3)]
 _BWD_PLANES = os.environ.get("NEMAR_FUSED_BWD", "planes") != "legacy"
 
 
+def _impl() -> str:
+    """'kstack' folds the 3 dx-shifted planes into the dot's K dimension
+    (3 dots of K=3C per conv, free dy slices, 2 accumulator adds) instead
+    of 9 K=C tap dots (9 misaligned slab relayouts fwd / 9 plane slices
+    bwd, 8 full-size fp32 adds). Read at trace time so probes can A/B via
+    env. Probe r4l motivated it: the fwd runs at ~40% MFU while the
+    planes bwd reaches ~62% — the gap is relayout+accumulate traffic,
+    not dot throughput."""
+    return os.environ.get("NEMAR_FUSED_IMPL", "taps")
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -106,6 +117,33 @@ def _in_stats(y, hw, eps):
     return mu, jax.lax.rsqrt(var + eps)
 
 
+def _fill_kplanes(p_ref, pad_ref, w, c):
+    """p_ref (H+2, W, 3C) <- the 3 dx-shifted w-wide windows of pad_ref
+    (H+2, W+2, C), stacked along LANES (channel block dx). The dot's K
+    dimension then spans all 3 dx taps at once; dy slices of p_ref are
+    free major-dim slices with contiguous (h*w, 3c) reshapes."""
+    for dx in range(3):
+        p_ref[:, :, dx * c:(dx + 1) * c] = pad_ref[:, dx:dx + w, :]
+
+
+def _conv3k(p_ref, wk_ref, h, w, c):
+    """Sum of 3 K-stacked matmuls: (H*W, C) fp32.
+
+    wk_ref (3, 3C, C) is w (3,3,C,C) reshaped outside the kernel: rows
+    block dx of wk[dy] is w[dy, dx]. y[a,b] = sum_dy P[dy+a, b] @ wk[dy].
+    """
+    acc = None
+    for dy in range(3):
+        slab = p_ref[dy:dy + h].reshape(h * w, 3 * c)
+        p = jax.lax.dot_general(
+            slab, wk_ref[dy],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = p if acc is None else acc + p
+    return acc
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
@@ -133,20 +171,55 @@ def _fwd_kernel(x_ref, w1_ref, w2_ref, out_ref, y1_ref, st_ref,
     st_ref[0] = jnp.concatenate([mu1, rstd1, mu2, rstd2], axis=0)
 
 
+def _fwd_kernel_kstack(x_ref, w1k_ref, w2k_ref, out_ref, y1_ref, st_ref,
+                       pad_ref, p_ref, *, h, w, c, eps):
+    hw = float(h * w)
+    cdt = x_ref.dtype
+
+    _fill_pad(pad_ref, x_ref[0], h, w)
+    _fill_kplanes(p_ref, pad_ref, w, c)
+    y1 = _conv3k(p_ref, w1k_ref, h, w, c)
+    mu1, rstd1 = _in_stats(y1, hw, eps)
+    y1hat = (y1 - mu1) * rstd1
+    y1_ref[0] = y1hat.reshape(h, w, c).astype(y1_ref.dtype)
+    h1 = jnp.maximum(y1hat, 0.0).astype(cdt)
+
+    _fill_pad(pad_ref, h1.reshape(h, w, c), h, w)
+    _fill_kplanes(p_ref, pad_ref, w, c)
+    y2 = _conv3k(p_ref, w2k_ref, h, w, c)
+    mu2, rstd2 = _in_stats(y2, hw, eps)
+    y2hat = (y2 - mu2) * rstd2
+
+    out_ref[0] = (x_ref[0].astype(jnp.float32)
+                  + y2hat.reshape(h, w, c)).astype(out_ref.dtype)
+    st_ref[0] = jnp.concatenate([mu1, rstd1, mu2, rstd2], axis=0)
+
+
 def _fwd_pallas(x, w1, w2, eps):
     n, h, w_, c = x.shape
-    kernel = functools.partial(_fwd_kernel, h=h, w=w_, c=c, eps=eps)
+    kstack = _impl() == "kstack"
+    if kstack:
+        kernel = functools.partial(_fwd_kernel_kstack, h=h, w=w_, c=c,
+                                   eps=eps)
+        # (3,3,C,C) -> (3, 3C, C): rows block dx of [dy] is w[dy, dx]
+        w_in = [w1.reshape(3, 3 * c, c), w2.reshape(3, 3 * c, c)]
+        w_specs = [pl.BlockSpec((3, 3 * c, c), lambda i: (0, 0, 0),
+                                memory_space=pltpu.VMEM)] * 2
+        scratches = [pltpu.VMEM((h + 2, w_ + 2, c), x.dtype),
+                     pltpu.VMEM((h + 2, w_, 3 * c), x.dtype)]
+    else:
+        kernel = functools.partial(_fwd_kernel, h=h, w=w_, c=c, eps=eps)
+        w_in = [w1, w2]
+        w_specs = [pl.BlockSpec((3, 3, c, c), lambda i: (0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)] * 2
+        scratches = [pltpu.VMEM((h + 2, w_ + 2, c), x.dtype)]
     out, y1, st = pl.pallas_call(
         kernel,
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, h, w_, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, c, c), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, c, c), lambda i: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + w_specs,
         out_specs=[
             pl.BlockSpec((1, h, w_, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -160,12 +233,12 @@ def _fwd_pallas(x, w1, w2, eps):
             jax.ShapeDtypeStruct((n, h, w_, c), x.dtype),       # y1hat
             jax.ShapeDtypeStruct((n, 4, c), jnp.float32),       # stats
         ],
-        scratch_shapes=[pltpu.VMEM((h + 2, w_ + 2, c), x.dtype)],
+        scratch_shapes=scratches,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(x, w1, w2)
+    )(x, *w_in)
     return out, y1, st
 
 
@@ -269,6 +342,49 @@ def _dw9_planes(pl_ref, dz3, dw_ref, first, h, w, c):
             dw_ref[dy, dx] += d
 
 
+def _dw3k(p_ref, dz3, dwk_ref, first, h, w, c):
+    """dWk[dy] (3C, C) += P[dy:dy+h]^T @ dz (contract HW rows) — all three
+    dx taps of one dy in a single dot, batch-accumulated across grid."""
+    for dy in range(3):
+        slab = p_ref[dy:dy + h].reshape(h * w, 3 * c)
+        d = jax.lax.dot_general(
+            slab, dz3,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(first)
+        def _():
+            dwk_ref[dy] = d
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dwk_ref[dy] += d
+
+
+def _conv_adjoint_kstack(dz3, wtk_ref, dzp_ref, az_ref, dpad_ref, h, w, c):
+    """_conv_adjoint with the dx shifts folded into K.
+
+    az_ref (H+4, W+2, 3C): channel block dx holds dzp[:, 2-dx : w+4-dx].
+    wtk_ref (3, 3C, C): rows block dx of [dy] is W[dy, dx]^T (restacked
+    outside the kernel). dpad[a, b] = sum_dy AZ[2-dy+a, b] @ wtk[dy].
+    """
+    dzp_ref[...] = jnp.zeros_like(dzp_ref)
+    dzp_ref[2:h + 2, 2:w + 2, :] = dz3.reshape(h, w, c)
+    for dx in range(3):
+        az_ref[:, :, dx * c:(dx + 1) * c] = dzp_ref[:, 2 - dx:4 - dx + w, :]
+    acc = None
+    for dy in range(3):
+        slab = az_ref[2 - dy:h + 4 - dy].reshape((h + 2) * (w + 2), 3 * c)
+        p = jax.lax.dot_general(
+            slab, wtk_ref[dy],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = p if acc is None else acc + p
+    dpad_ref[...] = acc.reshape(h + 2, w + 2, c)
+
+
 def _conv_adjoint_planes(dz3, w_ref, dzp_ref, az_ref, dpad_ref, h, w, c):
     """_conv_adjoint through 3 preshifted (w+2)-wide planes of the
     zero-padded dz (az_ref: (3, H+4, W+2, C))."""
@@ -286,6 +402,47 @@ def _conv_adjoint_planes(dz3, w_ref, dzp_ref, az_ref, dpad_ref, h, w, c):
         )
         acc = p if acc is None else acc + p
     dpad_ref[...] = acc.reshape(h + 2, w + 2, c)
+
+
+def _bwd2_kernel_kstack(st_ref, x_ref, y1_ref, out_ref, g_ref, w2tk_ref,
+                        dw2k_ref, dh1_ref, pad_ref, p_ref, dpad_ref,
+                        dzp_ref, az_ref, *, h, w, c):
+    """Stage B2 (kstack): through IN2 and conv2 -> (dW2k, dh1)."""
+    i = pl.program_id(0)
+    hw = float(h * w)
+    g = g_ref[0].astype(jnp.float32).reshape(h * w, c)
+    y2hat = (out_ref[0].astype(jnp.float32)
+             - x_ref[0].astype(jnp.float32)).reshape(h * w, c)
+    rstd2 = st_ref[0, 3:4, :]
+    dz2 = _in_bwd(g, y2hat, rstd2, hw).astype(x_ref.dtype)
+
+    h1 = jnp.maximum(y1_ref[0].astype(jnp.float32), 0.0).astype(x_ref.dtype)
+    _fill_pad(pad_ref, h1, h, w)
+    _fill_kplanes(p_ref, pad_ref, w, c)
+    _dw3k(p_ref, dz2, dw2k_ref, i == 0, h, w, c)
+    _conv_adjoint_kstack(dz2, w2tk_ref, dzp_ref, az_ref, dpad_ref, h, w, c)
+    dh1 = _pad_adjoint(dpad_ref, h, w)
+    dh1_ref[0] = dh1.astype(dh1_ref.dtype)
+
+
+def _bwd1_kernel_kstack(st_ref, x_ref, y1_ref, g_ref, dh1_ref, w1tk_ref,
+                        dw1k_ref, dx_ref, pad_ref, p_ref, dpad_ref,
+                        dzp_ref, az_ref, *, h, w, c):
+    """Stage B1 (kstack): through relu, IN1, conv1 -> (dW1k, dx)."""
+    i = pl.program_id(0)
+    hw = float(h * w)
+    y1hat = y1_ref[0].astype(jnp.float32).reshape(h * w, c)
+    gh = dh1_ref[0].astype(jnp.float32).reshape(h * w, c)
+    gh = gh * (y1hat > 0.0)
+    rstd1 = st_ref[0, 1:2, :]
+    dz1 = _in_bwd(gh, y1hat, rstd1, hw).astype(x_ref.dtype)
+
+    _fill_pad(pad_ref, x_ref[0], h, w)
+    _fill_kplanes(p_ref, pad_ref, w, c)
+    _dw3k(p_ref, dz1, dw1k_ref, i == 0, h, w, c)
+    _conv_adjoint_kstack(dz1, w1tk_ref, dzp_ref, az_ref, dpad_ref, h, w, c)
+    dx_conv = _pad_adjoint(dpad_ref, h, w)
+    dx_ref[0] = (g_ref[0].astype(jnp.float32) + dx_conv).astype(dx_ref.dtype)
 
 
 def _bwd2_kernel(st_ref, x_ref, y1_ref, out_ref, g_ref, w2_ref,
@@ -346,7 +503,67 @@ def _bwd1_kernel(st_ref, x_ref, y1_ref, g_ref, dh1_ref, w1_ref,
     dx_ref[0] = (g_ref[0].astype(jnp.float32) + dx_conv).astype(dx_ref.dtype)
 
 
+def _bwd_pallas_kstack(x, y1, st, out, g, w1, w2):
+    n, h, w_, c = x.shape
+    cdt = x.dtype
+    common = dict(
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )
+    b_spec = pl.BlockSpec((1, h, w_, c), lambda i: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    wk_spec = pl.BlockSpec((3, 3 * c, c), lambda i: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    st_spec = pl.BlockSpec((1, 4, c), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    scratches = [
+        pltpu.VMEM((h + 2, w_ + 2, c), cdt),            # pad
+        pltpu.VMEM((h + 2, w_, 3 * c), cdt),            # kplanes
+        pltpu.VMEM((h + 2, w_ + 2, c), jnp.float32),    # dpad
+        pltpu.VMEM((h + 4, w_ + 4, c), cdt),            # dzp
+        pltpu.VMEM((h + 4, w_ + 2, 3 * c), cdt),        # az kplanes
+    ]
+    # rows block dx of [dy] is W[dy, dx]^T (adjoint contracts out-ch)
+    w1tk = jnp.swapaxes(w1, 2, 3).reshape(3, 3 * c, c)
+    w2tk = jnp.swapaxes(w2, 2, 3).reshape(3, 3 * c, c)
+
+    dw2k, dh1 = pl.pallas_call(
+        functools.partial(_bwd2_kernel_kstack, h=h, w=w_, c=c),
+        grid=(n,),
+        in_specs=[st_spec, b_spec, b_spec, b_spec, b_spec, wk_spec],
+        out_specs=[wk_spec, b_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, 3 * c, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, h, w_, c), cdt),
+        ],
+        scratch_shapes=list(scratches),
+        **common,
+    )(st, x, y1, out, g, w2tk)
+
+    dw1k, dx = pl.pallas_call(
+        functools.partial(_bwd1_kernel_kstack, h=h, w=w_, c=c),
+        grid=(n,),
+        in_specs=[st_spec, b_spec, b_spec, b_spec, b_spec, wk_spec],
+        out_specs=[wk_spec, b_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, 3 * c, c), jnp.float32),
+            jax.ShapeDtypeStruct((n, h, w_, c), cdt),
+        ],
+        scratch_shapes=list(scratches),
+        **common,
+    )(st, x, y1, g, dh1, w1tk)
+
+    # (3, 3C, C) -> (3, 3, C, C): inverse of the stacking reshape
+    dw1 = dw1k.reshape(3, 3, c, c).astype(w1.dtype)
+    dw2 = dw2k.reshape(3, 3, c, c).astype(w2.dtype)
+    return dx, dw1, dw2
+
+
 def _bwd_pallas(x, y1, st, out, g, w1, w2):
+    if _impl() == "kstack":
+        return _bwd_pallas_kstack(x, y1, st, out, g, w1, w2)
     n, h, w_, c = x.shape
     cdt = x.dtype
     planes = _BWD_PLANES

@@ -30,7 +30,9 @@ def test_supported_shapes():
     assert not block_kernel_supported((1, 64, 64, 192))
 
 
-def test_fwd_parity_fp32(rng):
+@pytest.mark.parametrize("impl", ["taps", "kstack"])
+def test_fwd_parity_fp32(rng, monkeypatch, impl):
+    monkeypatch.setenv("NEMAR_FUSED_IMPL", impl)
     x, w1, w2 = _data(rng)
     out = fused_resblock(x, w1, w2)
     ref = resblock_reference(x, w1, w2)
@@ -38,7 +40,9 @@ def test_fwd_parity_fp32(rng):
     assert err < 1e-4, f"fwd max err {err}"
 
 
-def test_bwd_parity_fp32(rng):
+@pytest.mark.parametrize("impl", ["taps", "kstack"])
+def test_bwd_parity_fp32(rng, monkeypatch, impl):
+    monkeypatch.setenv("NEMAR_FUSED_IMPL", impl)
     x, w1, w2 = _data(rng, n=2, h=8, w=16, c=128)
 
     def loss_fused(x, w1, w2):
