@@ -191,6 +191,13 @@ class BaseModel(ABC):
             # LR-schedule controller state rides the meta file: the plateau
             # policy's {best,bad,mult} is host-side (not in the jax state
             # tree), and current_lr pins the resumed run's first epoch.
+            # Known (accepted) lag: save_networks runs at epoch end BEFORE
+            # update_learning_rate(epoch) feeds the epoch's metric to the
+            # plateau controller, so a resumed plateau run replays one
+            # fewer observation and can drop the LR one epoch later than an
+            # uninterrupted run. Deliberate: the alternative (re-publishing
+            # meta after the controller steps) would double the meta writes
+            # to protect a one-epoch heuristic offset (ADVICE r4 #3).
             meta["lr_state"] = {"current_lr": float(self.current_lr),
                                 "plateau": getattr(self.lr_fn, "state", None)}
         if is_async:

@@ -299,10 +299,12 @@ class NEMARModel(BaseModel):
                 lambda st, a, b, lr, gw, rg: self._train_step_impl(
                     st, a, b, lr, gw, rg, split=True),
                 donate_argnums=(0,),
+                compiler_options=co,
             )
             # program B: bucketed flat Adam for G/R + EMA
             self._opt_apply = jax.jit(
-                self._opt_apply_impl, donate_argnums=(0, 1))
+                self._opt_apply_impl, donate_argnums=(0, 1),
+                compiler_options=co)
 
     # ------------------------------------------------------------------
     # state construction

@@ -28,7 +28,12 @@ def make_adam(beta1: float = 0.5, fused: bool = False,
     the concatenate the compiler must schedule — the single full-tree
     ravel is what pushed the pallas-trunk step compile over the remote
     helper's memory (probes r3q/r4d: reproducible SIGKILL). NOTE:
-    optimizer-state checkpoints are shape-incompatible across this flag.
+    optimizer-state checkpoints are shape-incompatible across this flag,
+    AND across the round-4 layout change itself: --opt_fused checkpoints
+    saved before the bucketing (one flat ravel) no longer restore — orbax
+    raises a shape mismatch naming the old single-vector layout. Restart
+    such runs from the per-net params (which are unaffected) or re-save
+    with the matching code revision.
     """
     base = optax.scale_by_adam(b1=beta1, b2=0.999, eps=1e-8)
     if not fused:

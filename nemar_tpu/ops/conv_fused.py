@@ -53,18 +53,26 @@ from jax.experimental.pallas import tpu as pltpu
 
 _TAPS = [(dy, dx) for dy in range(3) for dx in range(3)]
 
-# Probe r4h: preshifted-planes backward wins 19% (bit-exact); 'legacy'
-# keeps the original misaligned-slab backward for same-window A/Bs.
-_BWD_PLANES = os.environ.get("NEMAR_FUSED_BWD", "planes") != "legacy"
+def _bwd_planes() -> bool:
+    """Probe r4h: preshifted-planes backward wins 19% (bit-exact);
+    'legacy' keeps the original misaligned-slab backward for same-window
+    A/Bs. Read at trace time (like _impl) so tests/probes can flip
+    NEMAR_FUSED_BWD after import."""
+    return os.environ.get("NEMAR_FUSED_BWD", "planes") != "legacy"
 
 
 def _impl() -> str:
     """'kstack' folds the 3 dx-shifted planes into the dot's K dimension
     (3 dots of K=3C per conv, free dy slices, 2 accumulator adds) instead
     of 9 K=C tap dots (9 misaligned slab relayouts fwd / 9 plane slices
-    bwd, 8 full-size fp32 adds). Read at trace time so probes can A/B via
-    env. Probe r4l motivated it: the fwd runs at ~40% MFU while the
-    planes bwd reaches ~62% — the gap is relayout+accumulate traffic,
+    bwd, 8 full-size fp32 adds). 'hybrid' (round 5, probe r4m verdict)
+    keeps the taps FORWARD (kstack fwd measured 5.26 vs 5.11 ms — the
+    lane-stacked plane build costs more than Mosaic's staging of the
+    misaligned loads) with the kstack BACKWARD (8.54 vs 9.01 ms implied
+    bwd at the b56 trunk shape, same window). Read at trace time so
+    probes can A/B via env. Probe r4l motivated it: the fwd runs at
+    ~40% MFU while the planes bwd reaches ~62% — the gap is
+    relayout+accumulate traffic,
     not dot throughput."""
     return os.environ.get("NEMAR_FUSED_IMPL", "taps")
 
@@ -562,11 +570,11 @@ def _bwd_pallas_kstack(x, y1, st, out, g, w1, w2):
 
 
 def _bwd_pallas(x, y1, st, out, g, w1, w2):
-    if _impl() == "kstack":
+    if _impl() in ("kstack", "hybrid"):
         return _bwd_pallas_kstack(x, y1, st, out, g, w1, w2)
     n, h, w_, c = x.shape
     cdt = x.dtype
-    planes = _BWD_PLANES
+    planes = _bwd_planes()
     common = dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,

@@ -237,8 +237,121 @@ def _fwd_shift_pallas(img_p, x_row, y_row, rowstart, *, s, b):
 
 
 # ---------------------------------------------------------------------------
-# backward kernel
+# shift-gather backward kernel (round 5, VERDICT r4 item 3: config #1's
+# fwd+bwd was 7.29 GB/s vs 12.29 fwd because the VJP still built the
+# (W x P) one-hots and ran all three W-sized MXU contractions).
+#
+# At bounded x-displacement the whole VJP rides the same 2B+2 lane rolls
+# as the r4c forward:
+#   xs  = Σ_k coeff_k  · roll(xrep, -k)      (primal recompute -> dy)
+#   xds = Σ_k dcoeff_k · roll(xrep, -k)      (d/dx taps; dcoeff = m1 - m0)
+#   dy  = Σ_c g_c ⊙ Σ_s (AydT ⊙ xs_c);  dx = Σ_c g_c ⊙ Σ_s (AyT ⊙ xds_c)
+# and the image scatter is the roll ADJOINT: output lane p of roll(·,-k)
+# reads input lane p+k, so
+#   dxrep_c = Σ_k roll(coeff_k ⊙ (g_c ⊙ AyT), +k)
+#   dslab_c[s, w] = Σ_j dxrep_c[s, w + j·W]   (adjoint of pltpu.repeat —
+#                   th-1 more rolls by multiples of W, then the first W
+#                   lanes, which is an aligned lane slice since W % 128 == 0)
+# No (W x P) operand is ever built and the MXU is not used at all: every
+# term is S x P elementwise work on the VPU, S = th + 2B + 8 ≪ W.
+# The inframe mask in coeff/dcoeff reproduces the 'zeros'-padding gradient
+# semantics exactly (out-of-frame taps contribute no dimg and no dx).
 # ---------------------------------------------------------------------------
+
+
+def _bwd_shift_kernel(rowstart_ref, x_ref, y_ref, img_ref, g_ref,
+                      dimg_ref, dx_ref, dy_ref, *, c, s, w, b, gc):
+    t = pl.program_id(1)
+    rs = rowstart_ref[pl.program_id(0), t]
+    xrow = x_ref[0, 0]                 # (1, P)
+    yrow = y_ref[0, 0]
+
+    @pl.when(t == 0)
+    def _init():
+        dimg_ref[...] = jnp.zeros_like(dimg_ref)
+
+    ylocal = yrow - rs.astype(yrow.dtype)
+    ayt, aydt = _taps_t(ylocal, s)     # (S, P)
+    p = xrow.shape[1]
+    ix = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1) & (w - 1)
+    fx = jnp.floor(xrow)
+    ax = xrow - fx
+    dxi = fx.astype(jnp.int32) - ix    # in [-B, B] when the cond engaged
+    coeffs, dcoeffs = [], []
+    for k in range(-b, b + 2):
+        src = ix + k
+        inframe = (src >= 0) & (src < w)
+        m0 = jnp.where(inframe & (dxi == k), 1.0, 0.0)
+        m1 = jnp.where(inframe & (dxi == k - 1), 1.0, 0.0)
+        coeffs.append(m0 * (1.0 - ax) + m1 * ax)
+        dcoeffs.append(m1 - m0)
+    rs_al = pl.multiple_of(rs, 8)
+
+    gs = [g_ref[0, 0, ci] for ci in range(c)]
+    dx = jnp.zeros_like(xrow)
+    dy = jnp.zeros_like(yrow)
+    for ci in range(c):
+        slab = img_ref[0, ci, pl.ds(rs_al, s), :]        # (S, W) f32
+        xrep = pltpu.repeat(slab, p // w, axis=1)        # (S, P)
+        xs = jnp.zeros((s, p), jnp.float32)
+        xds = jnp.zeros((s, p), jnp.float32)
+        for j, k in enumerate(range(-b, b + 2)):
+            rolled = pltpu.roll(xrep, -k % p, 1)
+            xs = xs + coeffs[j] * rolled
+            xds = xds + dcoeffs[j] * rolled
+        dy = dy + gs[ci] * jnp.sum(aydt * xs, axis=0, keepdims=True)
+        dx = dx + gs[ci] * jnp.sum(ayt * xds, axis=0, keepdims=True)
+        if ci < gc:
+            gayt = gs[ci] * ayt                          # (S, P)
+            acc = jnp.zeros((s, p), jnp.float32)
+            for j, k in enumerate(range(-b, b + 2)):
+                acc = acc + pltpu.roll(coeffs[j] * gayt, k % p, 1)
+            folded = acc
+            for jj in range(1, p // w):                  # adjoint of repeat
+                folded = folded + pltpu.roll(acc, (-jj * w) % p, 1)
+            dimg_ref[0, ci, pl.ds(rs_al, s), :] += folded[:, :w]
+    dx_ref[0, 0] = dx
+    dy_ref[0, 0] = dy
+
+
+def _bwd_shift_pallas(img_p, x_row, y_row, rowstart, g, *, s, b, gc=-1):
+    n, c, h, w = img_p.shape
+    if gc < 0:
+        gc = c
+    nt, p = x_row.shape[1], x_row.shape[3]
+    kernel = functools.partial(_bwd_shift_kernel, c=c, s=s, w=w, b=b, gc=gc)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, p), lambda nn, t, rss: (nn, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p), lambda nn, t, rss: (nn, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, h, w), lambda nn, t, rss: (nn, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c, 1, p), lambda nn, t, rss: (nn, t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c, h, w), lambda nn, t, rss: (nn, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p), lambda nn, t, rss: (nn, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, p), lambda nn, t, rss: (nn, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n, c, h, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, nt, 1, p), jnp.float32),
+            jax.ShapeDtypeStruct((n, nt, 1, p), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(rowstart, x_row, y_row, img_p, g)
 
 
 def _bwd_kernel(rowstart_ref, x_ref, y_ref, img_ref, g_ref,
@@ -384,11 +497,18 @@ def _warp_core_fwd(img_p, x_row, y_row, s, mxu_bf16, grad_channels=-1,
 
 
 def _warp_core_bwd(s, mxu_bf16, grad_channels, x_bound, res, g):
-    # one backward for both forwards: the primal math is identical, so the
-    # one-hot VJP kernels serve the shift-gather forward unchanged
     img_p, x_row, y_row, rowstart = res
-    dimg, dx, dy = _bwd_pallas(img_p, x_row, y_row, rowstart, g, s=s,
-                               mxu_bf16=mxu_bf16, gc=grad_channels)
+    if x_bound > 0:
+        # shift-gather VJP (round 5): same 2B+2 lane rolls as the r4c
+        # forward, no (W x P) one-hot builds, no MXU contractions. The
+        # bound holds by construction — this branch of the outer lax.cond
+        # only runs when ok_sh verified |floor(x) - col| <= B.
+        dimg, dx, dy = _bwd_shift_pallas(img_p, x_row, y_row, rowstart, g,
+                                         s=s, b=x_bound, gc=grad_channels)
+    else:
+        # one backward for the one-hot forward: primal math identical
+        dimg, dx, dy = _bwd_pallas(img_p, x_row, y_row, rowstart, g, s=s,
+                                   mxu_bf16=mxu_bf16, gc=grad_channels)
     return dimg, dx, dy
 
 

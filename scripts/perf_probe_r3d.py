@@ -117,7 +117,7 @@ def main():
     class U1F(nn.Module):
         @nn.compact
         def __call__(self, x):
-            from nemar_tpu.ops.convt_fused import fused_convt_in
+            from nemar_tpu.ops.attic.convt_fused import fused_convt_in
 
             wk = self.param("k", nn.initializers.normal(0.02), (3, 3, 256, 128))
             return fused_convt_in(x, wk.astype(x.dtype))
@@ -132,7 +132,7 @@ def main():
     class DecF(nn.Module):
         @nn.compact
         def __call__(self, x):
-            from nemar_tpu.ops.convt_fused import fused_convt_in
+            from nemar_tpu.ops.attic.convt_fused import fused_convt_in
 
             k1 = self.param("k1", nn.initializers.normal(0.02), (3, 3, 256, 128))
             k2 = self.param("k2", nn.initializers.normal(0.02), (3, 3, 128, 64))

@@ -59,7 +59,7 @@ def main():
     class C7S(nn.Module):
         @nn.compact
         def __call__(self, x):
-            from nemar_tpu.ops.conv_small import conv2d_small_cout
+            from nemar_tpu.ops.attic.conv_small import conv2d_small_cout
 
             k = self.param("k", nn.initializers.normal(0.02), (7, 7, 64, 3))
             b = self.param("b", nn.initializers.zeros, (3,))
@@ -86,7 +86,7 @@ def main():
     class C7H(nn.Module):
         @nn.compact
         def __call__(self, x):
-            from nemar_tpu.ops.conv_head import conv_head
+            from nemar_tpu.ops.attic.conv_head import conv_head
 
             k = self.param("k", nn.initializers.normal(0.02), (7, 7, 64, 3))
             b = self.param("b", nn.initializers.zeros, (3,))

@@ -11,6 +11,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.quick  # fast confidence tier (VERDICT r4 #9)
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -16,6 +16,8 @@ from nemar_tpu.ops.conv_fused import (
     resblock_reference,
 )
 
+pytestmark = pytest.mark.quick  # fast confidence tier (VERDICT r4 #9)
+
 
 def _data(rng, n=2, h=16, w=16, c=128, dtype=np.float32):
     x = rng.standard_normal((n, h, w, c), dtype=np.float32)
@@ -40,9 +42,14 @@ def test_fwd_parity_fp32(rng, monkeypatch, impl):
     assert err < 1e-4, f"fwd max err {err}"
 
 
-@pytest.mark.parametrize("impl", ["taps", "kstack"])
-def test_bwd_parity_fp32(rng, monkeypatch, impl):
+# (impl, bwd): 'legacy' only dispatches on the taps path (kstack/hybrid
+# have their own fused adjoint), so it is covered there — ADVICE r4 #5.
+@pytest.mark.parametrize("impl,bwd", [
+    ("taps", "planes"), ("taps", "legacy"), ("kstack", "planes"),
+    ("hybrid", "planes")])
+def test_bwd_parity_fp32(rng, monkeypatch, impl, bwd):
     monkeypatch.setenv("NEMAR_FUSED_IMPL", impl)
+    monkeypatch.setenv("NEMAR_FUSED_BWD", bwd)
     x, w1, w2 = _data(rng, n=2, h=8, w=16, c=128)
 
     def loss_fused(x, w1, w2):
@@ -83,9 +90,6 @@ def test_bias_is_inert_through_in(rng):
     np.testing.assert_allclose(
         np.asarray(instance_norm(y + b)), np.asarray(instance_norm(y)),
         atol=1e-5)
-
-
-import pytest
 
 
 @pytest.mark.parametrize("impl", ["pallas", "pallas_all"])

@@ -7,6 +7,8 @@ from PIL import Image
 from nemar_tpu.data import create_dataset, find_dataset_using_name
 from nemar_tpu.options import TrainOptions
 
+pytestmark = pytest.mark.quick  # fast confidence tier (VERDICT r4 #9)
+
 
 def _opt(tmp_path, extra=None):
     extra = extra or []

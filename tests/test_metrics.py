@@ -9,6 +9,10 @@ from nemar_tpu.options import TrainOptions
 from nemar_tpu.ops.warp import identity_grid, grid_sample
 from nemar_tpu.utils import metrics as M
 
+import pytest
+
+pytestmark = pytest.mark.quick  # fast confidence tier (VERDICT r4 #9)
+
 
 class TestPhotometric:
     def test_ncc_self_is_one(self, rng):

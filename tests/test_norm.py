@@ -7,6 +7,8 @@ import jax.numpy as jnp
 
 from nemar_tpu.ops.norm import instance_norm, instance_norm_act
 
+pytestmark = pytest.mark.quick  # fast confidence tier (VERDICT r4 #9)
+
 torch = pytest.importorskip("torch")
 
 

@@ -4,6 +4,10 @@ import os
 
 from nemar_tpu.options import TrainOptions, TestOptions
 
+import pytest
+
+pytestmark = pytest.mark.quick  # fast confidence tier (VERDICT r4 #9)
+
 
 def _train_opt(tmp_path, extra=None):
     args = [

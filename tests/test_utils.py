@@ -12,6 +12,10 @@ from nemar_tpu.utils.html import HTML
 from nemar_tpu.utils.image_pool import init_pool, query_pool
 from nemar_tpu.utils.util import tensor2im, save_image, mkdirs
 
+import pytest
+
+pytestmark = pytest.mark.quick  # fast confidence tier (VERDICT r4 #9)
+
 
 class TestImagePool:
     def test_filling_phase_returns_inputs(self, rng):

@@ -23,6 +23,8 @@ from nemar_tpu.ops.warp import (
 torch = pytest.importorskip("torch")
 import torch.nn.functional as F  # noqa: E402
 
+pytestmark = pytest.mark.quick  # fast confidence tier (VERDICT r4 #9)
+
 
 GOLDEN_THETA = np.array([[[0.9, 0.1, 0.05], [-0.1, 1.1, -0.05]]], dtype=np.float64)
 
