@@ -274,11 +274,20 @@ def bench_config(n: int):
         fwd_sh = jax.jit(lambda i, g: grid_sample(i, g, impl="shift"))
         dt_sh = _timeit(fwd_sh, (imgP, gridP), label="shift warp fwd b32x3 256²")
 
-        def loss(i, g):
-            return jnp.mean(jnp.abs(grid_sample(i, g, impl="pallas")))
+        def loss(i, g, impl):
+            return jnp.mean(jnp.abs(grid_sample(i, g, impl=impl)))
 
-        fb = jax.jit(jax.grad(loss, argnums=(0, 1)))
-        dt_fb = _timeit(fb, (imgP, gridP), label="pallas warp fwd+bwd b32x3 256²")
+        fb = jax.jit(jax.grad(lambda i, g: loss(i, g, "pallas"),
+                              argnums=(0, 1)))
+        dt_fb_oh = _timeit(fb, (imgP, gridP),
+                           label="pallas warp fwd+bwd b32x3 256²")
+        # round-5 shift-gather VJP (probe r5b: 17.1 vs 22.3 ms same
+        # window — 10.3 vs 7.9 GB/s); exact via the dynamic-bound cond
+        fb_sh = jax.jit(jax.grad(lambda i, g: loss(i, g, "shift"),
+                                 argnums=(0, 1)))
+        dt_fb_sh = _timeit(fb_sh, (imgP, gridP),
+                           label="shift warp fwd+bwd b32x3 256²")
+        dt_fb = min(dt_fb_oh, dt_fb_sh)
         # same-window mm-path ratio (the pure-XLA exact fallback)
         fwd_mm = jax.jit(lambda i, g: grid_sample(i, g, impl="mm"))
         dt_mm = _timeit(fwd_mm, (imgP, gridP), label="mm warp fwd b32x3 256²")
@@ -299,6 +308,8 @@ def bench_config(n: int):
                 "fwd_bwd_GBps": round(gbs_fb, 2),
                 "onehot_fwd_GBps": round(fwd_bytes / dt_f / 1e9, 2),
                 "shift_fwd_GBps": round(fwd_bytes / dt_sh / 1e9, 2),
+                "onehot_fwd_bwd_GBps": round(fb_bytes / dt_fb_oh / 1e9, 2),
+                "shift_fwd_bwd_GBps": round(fb_bytes / dt_fb_sh / 1e9, 2),
                 "affine_b1_GBps": round(
                     (256 * 256 * (1 * 4 * 2 + 2 * 4)) / dt / 1e9, 2)}
     if n == 2:
@@ -325,6 +336,26 @@ def bench_config(n: int):
         # see the A100_REF_STN_FWD_BWD_MS note on reading b1-latency ratios
         out["vs_baseline"] = round(A100_REF_STN_FWD_BWD_MS / (dt * 1e3), 3)
         out["cpu_torch_ms"] = 486.8
+        # VERDICT r4 item 7: the artifact must be self-explanatory — the
+        # b1 chain is latency, not the TPU's regime; carry the
+        # throughput-regime number (b32) and the denominator caveat here.
+        a32 = jnp.tile(a, (32, 1, 1, 1))
+        b32 = jnp.tile(b, (32, 1, 1, 1))
+
+        def loss32(p):
+            (wb,), reg, _ = stn.apply(p, a32, b32, (b32,))
+            return jnp.mean(jnp.abs(wb - b32)) + reg
+
+        g32 = jax.jit(jax.grad(loss32))
+        dt32 = _timeit(g32, (params,), label="unet STN fwd+bwd b32 256²")
+        out["stn_fwd_bwd_b32_ms"] = round(dt32 * 1e3, 2)
+        out["stn_fwd_bwd_b32_ms_per_sample"] = round(dt32 * 1e3 / 32, 3)
+        out["note"] = (
+            "vs_baseline compares b1 LATENCY against an A100 chain that "
+            "assumes 40 TFLOP/s sustained where eager torch is launch-"
+            "bound (~1.2 ms floor) — generous to the baseline; <1 reads "
+            "'b1 latency is not the TPU regime'. Throughput regime: see "
+            "stn_fwd_bwd_b32_ms_per_sample and configs #0/#3/#4.")
         return out
     if n == 3:
         pairs = bench_train_step(1, steps=20)

@@ -73,8 +73,12 @@ def _impl() -> str:
     probes can A/B via env. Probe r4l motivated it: the fwd runs at
     ~40% MFU while the planes bwd reaches ~62% — the gap is
     relayout+accumulate traffic,
-    not dot throughput."""
-    return os.environ.get("NEMAR_FUSED_IMPL", "taps")
+    not dot throughput.
+
+    PRODUCTION DEFAULT = hybrid since round 5: probe r5a, one window —
+    block f+b 13.86 vs 14.21 ms, in-step b56 150.28 vs 149.31 pairs/s
+    (the 5.0x BASELINE north star's crossing)."""
+    return os.environ.get("NEMAR_FUSED_IMPL", "hybrid")
 
 
 def _interpret() -> bool:

@@ -24,7 +24,7 @@ import bench  # noqa: E402  (enables the compilation cache on import)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", type=str, default="0,1,2,3,4,5")
-    ap.add_argument("--out", type=str, default="/root/repo/BENCH_configs_r4.json")
+    ap.add_argument("--out", type=str, default="/root/repo/BENCH_configs_r5.json")
     args = ap.parse_args()
 
     import jax

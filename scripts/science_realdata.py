@@ -85,7 +85,8 @@ def main():
     epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 50
     res = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     n_train = int(sys.argv[3]) if len(sys.argv) > 3 else 50
-    root = f"/tmp/pseudo_mm_{n_train}" if n_train != 50 else "/tmp/pseudo_mm"
+    root = ("/tmp/pseudo_mm" + (f"_{n_train}" if n_train != 50 else "")
+            + (f"_r{res}" if res != 64 else ""))
     if not os.path.exists(os.path.join(root, "gt.json")):
         print("generating pseudo-multimodal dataset...", flush=True)
         generate(root, n_train=n_train, res=res)
@@ -96,14 +97,30 @@ def main():
     from nemar_tpu.utils import metrics as M
 
     half = epochs // 3
+    # Round-5 (VERDICT r4 item 5): resolution-scaled recipe on the
+    # file-based path, mirroring science_final — the capture-range law
+    # (round 4) scales the recon pyramid with res so the coarsest cell
+    # tracks the misalignment (identity EPE grows with res at fixed
+    # RELATIVE misalign), and >=128² needs the tanh flow bound + order-2
+    # TV (round-3 science_256_direct: unbounded ultra-coarse heads
+    # random-walk; order-1 TV penalizes affine magnitude directly).
+    pyr = 3 + max(0, int(np.log2(res / 64)))
+    res_flags = []
+    if res >= 128:
+        res_flags += ["--stn_bounded_flow", str(round(0.05 * 2 * 2.5, 3)),
+                      "--stn_smooth_order", "2"]
+    if res >= 256:
+        res_flags += ["--lambda_smooth", "40"]
+        if int(os.environ.get("SCIENCE_TPU", "0")):
+            res_flags += ["--bf16"]
     opt = TrainOptions().parse([
         "--dataroot", root, "--dataset_mode", "multimodal",
         "--model", "nemar", "--stn_type", "unet",
-        "--name", "realdata", "--checkpoints_dir", "/tmp/realdata_ckpt",
+        "--name", "realdata", "--checkpoints_dir", f"/tmp/realdata_ckpt_r{res}",
         "--preprocess", "none",
         "--crop_size", str(res), "--load_size", str(res),
         "--batch_size", "10", "--no_flip",
-        "--recon_pyramid", "3", "--border_mask", "--stn_multiscale",
+        "--recon_pyramid", str(pyr), "--border_mask", "--stn_multiscale",
         "--stn_level_scale", "0.25",
         "--stn_warmup_epochs", "3", "--stn_ramp_epochs", "8",
         "--stn_grad_clip", "0.5",
@@ -111,8 +128,9 @@ def main():
         "--n_epochs", str(epochs - half), "--n_epochs_decay", str(half),
         "--save_epoch_freq", "10000", "--print_freq", "100000",
         "--display_freq", "1000000", "--no_html",
-        "--ngf", "32", "--ndf", "32", "--stn_ngf", "16", "--stn_depth", "4",
-    ])
+        "--ngf", "32", "--ndf", "32", "--stn_ngf", "16",
+        "--stn_depth", "6" if res >= 256 else "4",
+    ] + res_flags)
     dataset = create_dataset(opt)
     model = create_model(opt)
     model.setup(opt)
@@ -135,7 +153,7 @@ def main():
     ea, eb = np.stack(ea), np.stack(eb)
 
     out_path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "docs/science/science_realdata.jsonl")
+        os.path.abspath(__file__))), f"docs/science/science_realdata{'_r%d' % res if res != 64 else ''}.jsonl")
     f = open(out_path, "a")
 
     def evaluate(epoch):
@@ -187,7 +205,7 @@ def main():
             model.optimize_parameters()
         if epoch % 3 == 0 or epoch == e2:
             epe = evaluate(epochs + epoch)
-    print(json.dumps({"config": f"realdata_pipeline_n{n_train}",
+    print(json.dumps({"config": f"realdata_pipeline_n{n_train}_r{res}",
                       "pairs": len(dataset), "final_epe_px": epe}))
     f.close()
 
