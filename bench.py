@@ -359,8 +359,24 @@ def bench_config(n: int):
         return out
     if n == 3:
         pairs = bench_train_step(1, steps=20)
+        # VERDICT r4 item 4: carry the b1 attribution in the artifact. The
+        # r5c dissection (one window, scripts/perf_probe_r5c.py) measured
+        # G fwd+bwd 6.5 + D(2N) 1.4 + STN 2.9 = 10.8 ms of the 18.2 ms b1
+        # step; the ~7 ms residue is per-step dispatch + lane starvation
+        # (64² trunk at b1 under-fills the 8×128 vregs) that batch
+        # amortizes: same window b2 64.3 / b4 90.8 / b8 136.8 pairs/s vs
+        # b1 55.0 — and 8-step scan chains are ALREADY in use at b1, so
+        # steps_per_execution is not a further lever here.
         return {"metric": "nemar_step_pairs_per_sec_b1_256", "value": round(pairs, 2),
-                "unit": "pairs/s", "vs_baseline": round(pairs / A100_REF_PAIRS_PER_SEC, 3)}
+                "unit": "pairs/s", "vs_baseline": round(pairs / A100_REF_PAIRS_PER_SEC, 3),
+                "note": (
+                    "b1 is a LATENCY capability row, not a throughput regime: "
+                    "r5c dissection (one window) = G fwd+bwd 6.5 + D 1.4 + "
+                    "STN 2.9 ms of the 18.2 ms step; the ~7 ms residue is "
+                    "dispatch + sub-vreg lane starvation that batch amortizes "
+                    "(same window: b2 64.3, b4 90.8, b8 136.8 pairs/s; "
+                    "headline b56 150.3). 8-step scan chains already run at "
+                    "b1, so steps_per_execution adds nothing further.")}
     if n == 4:
         # 512² full loss stack, one chip: batch 32 via remat + gradient
         # accumulation (identical math — per-sample IN, mean losses);
