@@ -155,6 +155,11 @@ def main():
     out_path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), f"docs/science/science_realdata{'_r%d' % res if res != 64 else ''}.jsonl")
     f = open(out_path, "a")
+    # arm header: the file accumulates multiple arms (append mode); each
+    # run announces its budget/data config so trajectories don't interleave
+    # ambiguously (epoch counters restart per arm).
+    f.write(json.dumps({"run": f"e{epochs}_n{n_train}_r{res}"}) + "\n")
+    f.flush()
 
     def evaluate(epoch):
         model.set_input({"A": ea, "B": eb, "A_paths": names})
