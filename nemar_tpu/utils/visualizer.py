@@ -51,7 +51,10 @@ class Visualizer:
             img_path = os.path.join(self.img_dir, f"epoch{epoch:03d}_{label}.png")
             save_image(image_numpy, img_path)
         # rebuild the gallery page, newest epoch first
-        webpage = html_mod.HTML(self.web_dir, f"Experiment name = {self.name}", refresh=0)
+        # The training page auto-refreshes in the browser (the TPU-pod
+        # replacement for the reference's live visdom panels): open
+        # checkpoints/<name>/web/index.html once and it tracks training.
+        webpage = html_mod.HTML(self.web_dir, f"Experiment name = {self.name}", refresh=30)
         for n in range(epoch, 0, -1):
             webpage.add_header(f"epoch [{n}]")
             ims, txts, links = [], [], []
