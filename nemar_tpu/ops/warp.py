@@ -133,6 +133,10 @@ def affine_grid(
     theta = jnp.asarray(theta)
     if theta.ndim != 3 or theta.shape[-2:] != (2, 3):
         raise ValueError(f"theta must be (N, 2, 3), got {theta.shape}")
+    if isinstance(size, int) or not hasattr(size, "__len__"):
+        raise ValueError(
+            f"size must be a sequence like (N, C, H, W), (N, H, W) or "
+            f"(H, W); got {size!r} — e.g. affine_grid(theta, (n, c, h, w))")
     if len(size) == 4:
         _, _, h, w = size
     elif len(size) == 3:
