@@ -6,10 +6,14 @@
 cd /root/repo || exit 1
 
 wait_relay() {
+  # block_until_ready does NOT wait under the relay (CLAUDE.md) — a probe
+  # must READ BACK a scalar to exercise the D2H path, which is exactly the
+  # piece that hangs in an outage (09:13 UTC: training steps kept running
+  # while every readback futex-waited).
   while true; do
-    timeout 180 python -c "import jax; jax.devices(); import jax.numpy as jnp; \
-x = jnp.ones((8,8)); (x@x).sum().block_until_ready()" >/dev/null 2>&1 && return 0
-    echo "$(date -u) relay still down"
+    timeout 180 python -c "import jax.numpy as jnp; \
+x = jnp.ones((8,8)); print(float((x@x).sum()))" >/dev/null 2>&1 && return 0
+    echo "$(date -u) relay still down (readback probe)"
     sleep 120
   done
 }
