@@ -466,6 +466,45 @@ def bench_config(n: int):
     raise SystemExit(f"unknown config {n}")
 
 
+def _outage_watchdog(cfg):
+    """Print an honest failure line and exit if the relay hangs.
+
+    Relay outages hang the D2H readback path while dispatch keeps working
+    (round-5, 09:13 UTC outage), so a bench run can block forever on its
+    first timing readback. After NEMAR_BENCH_TIMEOUT seconds (default
+    2400; a good-window headline completes in ~600) emit value=0 with
+    relay_outage=true — the last committed artifact number rides along in
+    a separate, clearly-stale field so the driver never mistakes it for a
+    fresh measurement.
+    """
+    import threading
+
+    timeout = float(os.environ.get("NEMAR_BENCH_TIMEOUT", "2400"))
+    if timeout <= 0:
+        return
+
+    def fire():
+        time.sleep(timeout)
+        stale = None
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_configs_r5.json")) as f:
+                stale = json.load(f)["results"].get(str(cfg), {}).get("value")
+        except Exception:
+            pass
+        print(json.dumps({
+            "metric": "nemar_train_pairs_per_sec_per_chip_256" if cfg == 0
+                      else f"config_{cfg}",
+            "value": 0.0, "unit": "pairs/s/chip", "vs_baseline": 0.0,
+            "relay_outage": True,
+            "note": f"bench hung >{int(timeout)}s (relay readback outage); "
+                    "value intentionally 0 — NOT a measurement",
+            "last_committed_value_stale": stale}), flush=True)
+        os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+
+
 def main():
     # Make sure we are on the TPU (bench contract) — no CPU fallback fibs.
     import argparse
@@ -477,6 +516,7 @@ def main():
                     help="BASELINE.json config #1-5; 0 = headline metric")
     cfg = ap.parse_args().config
 
+    _outage_watchdog(cfg)
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
 
