@@ -59,13 +59,13 @@ run_arm() {
 # armC completed 10:45 UTC (0.951 px vs identity 5.055 — VERDICT item 5
 # closed); removed from the restart so the queue resumes at s1ext.
 
-mv /tmp/science_final_s1_r256_fresh_p5.jsonl /tmp/science_final_s1_r256_fresh_p5_e160.jsonl 2>/dev/null
-run_arm s1ext 10800 python scripts/science_final.py 240 40 30 1 256 unet fresh \
-  && cp /tmp/science_final_s1_r256_fresh_p5.jsonl docs/science/science_final_s1_r256_fresh_p5_e310.jsonl
-
 # n=1024: arm C proved the diversity law (n256 plateaus at 3.47 px @128²,
 # n1024 reaches 0.95); the 256² demonstration rides the proven regime.
 run_arm realdata256 7200 python scripts/science_realdata.py 100 256 1024
+
+mv /tmp/science_final_s1_r256_fresh_p5.jsonl /tmp/science_final_s1_r256_fresh_p5_e160.jsonl 2>/dev/null
+run_arm s1ext 10800 python scripts/science_final.py 240 40 30 1 256 unet fresh \
+  && cp /tmp/science_final_s1_r256_fresh_p5.jsonl docs/science/science_final_s1_r256_fresh_p5_e310.jsonl
 
 run_arm p6 7200 python scripts/science_final.py 120 20 20 0 256 unet fresh pyr=6 \
   && cp /tmp/science_final_r256_fresh_p6.jsonl docs/science/ 2>/dev/null
