@@ -188,7 +188,10 @@ def main():
             model.set_input(data)
             model.optimize_parameters()
         model.update_learning_rate(epoch)
-        if epoch % 5 == 0 or epoch == epochs:
+        # sparser evals at 256²: every eval is a D2H readback, and during
+        # relay flaps (round-5) each readback is a hang opportunity that
+        # kills the supervisor attempt
+        if epoch % (10 if res >= 256 else 5) == 0 or epoch == epochs:
             evaluate(epoch)
 
     # Phase 2: R-refinement against the frozen translator (science_final
@@ -208,7 +211,7 @@ def main():
         for data in dataset:
             model.set_input(data)
             model.optimize_parameters()
-        if epoch % 3 == 0 or epoch == e2:
+        if epoch % (6 if res >= 256 else 3) == 0 or epoch == e2:
             epe = evaluate(epochs + epoch)
     print(json.dumps({"config": f"realdata_pipeline_n{n_train}_r{res}",
                       "pairs": len(dataset), "final_epe_px": epe}))
