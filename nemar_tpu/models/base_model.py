@@ -301,6 +301,21 @@ class BaseModel(ABC):
 
     # -- device placement --------------------------------------------------
     def _put_batch(self, batch: dict) -> dict:
+        if getattr(self.opt, "bf16", False):
+            # Under --bf16 the jitted step casts float32 inputs to bfloat16
+            # as its first op (_cast), so rounding on the HOST instead is
+            # numerically identical — and it halves H2D bytes. That matters
+            # beyond bandwidth: the axon relay client retains host staging
+            # buffers per transfer (round-5: a 10.6k-dispatch 256² run grew
+            # to 130 GB RSS and was OOM-killed; growth tracked shipped
+            # bytes), so halving traffic doubles the trainable run length.
+            import ml_dtypes
+
+            batch = {
+                k: v.astype(ml_dtypes.bfloat16)
+                if isinstance(v, np.ndarray) and v.dtype == np.float32 else v
+                for k, v in batch.items()
+            }
         return shard_batch(self.mesh, batch, shard_spatial=self.shard_spatial)
 
     def _lr_scalar(self):
