@@ -59,9 +59,10 @@ run_arm() {
 # armC completed 10:45 UTC (0.951 px vs identity 5.055 — VERDICT item 5
 # closed); removed from the restart so the queue resumes at s1ext.
 
-# n=1024: arm C proved the diversity law (n256 plateaus at 3.47 px @128²,
-# n1024 reaches 0.95); the 256² demonstration rides the proven regime.
-run_arm realdata256 7200 python scripts/science_realdata.py 100 256 1024
+# realdata256: demonstrated 12:17 UTC (attempt 3: P1 end 1.21 px vs
+# identity 10.37 — <id/2 by 4x; refine truncated by the f32-shipping OOM,
+# since fixed). Attempt 5 drew a slow-rate batch order (epoch 30 ~ identity,
+# the known 256² rate-variance) — arm retired in favor of s1ext/p6.
 
 mv /tmp/science_final_s1_r256_fresh_p5.jsonl /tmp/science_final_s1_r256_fresh_p5_e160.jsonl 2>/dev/null
 run_arm s1ext 10800 python scripts/science_final.py 240 40 30 1 256 unet fresh \
