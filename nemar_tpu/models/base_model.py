@@ -302,9 +302,11 @@ class BaseModel(ABC):
     # -- device placement --------------------------------------------------
     def _put_batch(self, batch: dict) -> dict:
         if getattr(self.opt, "bf16", False):
-            # Under --bf16 the jitted step casts float32 inputs to bfloat16
-            # as its first op (_cast), so rounding on the HOST instead is
-            # numerically identical — and it halves H2D bytes. That matters
+            # Under --bf16 the compute path casts inputs to bfloat16 anyway;
+            # shipping bf16 from the host additionally rounds the LOSS
+            # TARGETS (measured 2.7e-5 relative on step losses — below the
+            # 8-bit quantization image data carries), and halves H2D bytes.
+            # Training-equivalent, not bit-identical. The bytes matter
             # beyond bandwidth: the axon relay client retains host staging
             # buffers per transfer (round-5: a 10.6k-dispatch 256² run grew
             # to 130 GB RSS and was OOM-killed; growth tracked shipped
