@@ -301,7 +301,8 @@ class BaseModel(ABC):
 
     # -- device placement --------------------------------------------------
     def _put_batch(self, batch: dict) -> dict:
-        if getattr(self.opt, "bf16", False):
+        if getattr(self.opt, "bf16", False) \
+                and os.environ.get("NEMAR_SHIP_F32", "0") != "1":
             # Under --bf16 the compute path casts inputs to bfloat16 anyway;
             # shipping bf16 from the host additionally rounds the LOSS
             # TARGETS (measured 2.7e-5 relative on step losses — below the
