@@ -302,16 +302,20 @@ class BaseModel(ABC):
     # -- device placement --------------------------------------------------
     def _put_batch(self, batch: dict) -> dict:
         if getattr(self.opt, "bf16", False) \
-                and os.environ.get("NEMAR_SHIP_F32", "0") != "1":
-            # Under --bf16 the compute path casts inputs to bfloat16 anyway;
-            # shipping bf16 from the host additionally rounds the LOSS
-            # TARGETS (measured 2.7e-5 relative on step losses — below the
-            # 8-bit quantization image data carries), and halves H2D bytes.
-            # Training-equivalent, not bit-identical. The bytes matter
-            # beyond bandwidth: the axon relay client retains host staging
-            # buffers per transfer (round-5: a 10.6k-dispatch 256² run grew
-            # to 130 GB RSS and was OOM-killed; growth tracked shipped
-            # bytes), so halving traffic doubles the trainable run length.
+                and os.environ.get("NEMAR_SHIP_BF16", "0") == "1":
+            # OPT-IN (NEMAR_SHIP_BF16=1): ship bfloat16 inputs from the
+            # host. Halves H2D bytes — which matters because the axon relay
+            # client retains host staging buffers per transfer (round-5: a
+            # 10.6k-dispatch 256² run grew to 130 GB RSS and was
+            # OOM-killed; growth tracked shipped bytes). NOT the default:
+            # although the compute path casts inputs to bf16 anyway,
+            # shipping bf16 also rounds the LOSS TARGETS, and a paired
+            # seed-0 A/B at 256² showed that rounding SUPPRESSES the
+            # early per-pixel registration lock (pcos_ho 0.40 @epoch 10
+            # under f32 vs 0.34 then regressing under bf16; 10/10 bf16-era
+            # draws stalled where ~2/5 f32-era draws converged). Use for
+            # memory-bound runs that would otherwise OOM, with the science
+            # cost in mind.
             import ml_dtypes
 
             batch = {

@@ -159,12 +159,15 @@ def test_ema_shadows(tmp_path, rng):
 
 @pytest.mark.quick
 def test_bf16_host_shipping_matches_f32_step(tmp_path, rng):
-    """--bf16 ships bfloat16 inputs from the host (round 5: halves the
-    relay client's per-transfer buffer retention). The compute path casts
-    inputs to bf16 anyway; the only delta is that LOSS TARGETS also see
-    bf16 rounding (measured 2.7e-5 relative on the step losses — below the
-    8-bit image quantization the data carries). Training-equivalent."""
+    """NEMAR_SHIP_BF16=1 ships bfloat16 inputs from the host (round 5:
+    halves the relay client's per-transfer buffer retention; OPT-IN
+    because bf16-rounded loss targets measurably suppress the 256²
+    early registration lock). Step-loss delta vs f32 shipping is small
+    (2.7e-5 relative) but NOT zero — this test pins both the mechanism
+    and the magnitude."""
     import ml_dtypes
+    import os as _os
+    _os.environ["NEMAR_SHIP_BF16"] = "1"
 
     losses = {}
     for tag in ("ship_bf16", "ship_f32"):
@@ -184,6 +187,7 @@ def test_bf16_host_shipping_matches_f32_step(tmp_path, rng):
             assert model.real_A.dtype == jnp.bfloat16
         model.optimize_parameters()
         losses[tag] = {k: float(v) for k, v in model.get_current_losses().items()}
+    _os.environ.pop("NEMAR_SHIP_BF16", None)
     for k in losses["ship_bf16"]:
         np.testing.assert_allclose(losses["ship_bf16"][k], losses["ship_f32"][k],
                                    rtol=1e-3, err_msg=k)
